@@ -1,0 +1,224 @@
+package graft.schema
+
+/** Portable compiled-schema model.
+  *
+  * Mirrors the reference artifact shape (kyepy `kye/compiled.py`) so an
+  * artifact produced by the reference compiler (`kye -c out.json`) loads
+  * verbatim here; the runtime semantics are re-expressed on Spark.
+  */
+
+/** One instruction: op + inline literal args; remaining operands come from
+  * the evaluation stack (`kye/compiled.py:8-26`). */
+final case class Cmd(op: Op, args: List[Any]) {
+  def numStackArgs: Int = op.arity - args.length
+  require(numStackArgs >= 0, s"Too many inline args for ${op.opName}")
+  require(op.matchesSignature(args), s"Bad inline args for ${op.opName}: $args")
+}
+
+object Cmd {
+  def apply(op: Op): Cmd = Cmd(op, Nil)
+  def one(op: Op, arg: Any): Cmd = Cmd(op, List(arg))
+}
+
+/** Boolean row predicate attached to a model (`kye/compiled.py:30-68`). */
+final case class Assertion(model: String, msg: String, expr: List[Cmd], loc: Option[String]) {
+  /** Column names referenced by the program (order of first occurrence;
+    * reference uses an unordered set, `compiled.py:61-68`). */
+  lazy val edges: List[String] =
+    expr.collect { case Cmd(Op.COL, List(name: String)) => name }.distinct
+}
+
+/** A column (or computed attribute) of a model/type: declared type +
+  * cardinality as two bools (`kye/compiled.py:70-127`). */
+final case class Edge(
+    model: String,
+    name: String,
+    none: Boolean,
+    many: Boolean,
+    tpe: String,
+    title: Option[String],
+    expr: Option[List[Cmd]],
+    loc: Option[String]) {
+  def cardinality: String =
+    (many, none) match {
+      case (true, true)   => "many"
+      case (true, false)  => "more"
+      case (false, true)  => "maybe"
+      case (false, false) => "one"
+    }
+}
+
+/** Non-model nominal type (`kye/compiled.py:129-189`). Carries coercion
+  * edges (e.g. String.Number = cast program). */
+final case class TypeSpec(
+    name: String,
+    parent: Option[String],
+    format: Option[String],
+    conditions: Option[List[Cmd]],
+    edges: Map[String, Edge],
+    assertions: List[Assertion],
+    loc: Option[String])
+
+/** A named table with one or more candidate keys (`kye/compiled.py:192-276`). */
+final case class Model(
+    name: String,
+    indexes: List[List[String]],
+    edges: Map[String, Edge],
+    assertions: List[Assertion],
+    loc: Option[String]) {
+
+  /** All edges participating in any index (first-occurrence order;
+    * reference uses a set, `compiled.py:252-258`). */
+  lazy val index: List[String] = indexes.flatten.distinct
+
+  lazy val edgeTitles: Map[String, Edge] =
+    edges.values.flatMap(e => e.title.map(_ -> e)).toMap
+
+  /** Lookup by name or by source-column title (`compiled.py:268-276`). */
+  def edge(key: String): Edge = edgeTitles.getOrElse(key, edges(key))
+  def hasEdge(key: String): Boolean = edgeTitles.contains(key) || edges.contains(key)
+}
+
+final case class CompiledSchema(types: Map[String, TypeSpec], models: Map[String, Model]) {
+  /** Right-biased merge (`compiled.py:320-324`). */
+  def merge(other: CompiledSchema): CompiledSchema =
+    CompiledSchema(types ++ other.types, models ++ other.models)
+}
+
+object CompiledSchema {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+  import scala.jdk.CollectionConverters._
+
+  private val jsonMapper = new ObjectMapper()
+  private val yamlMapper = new ObjectMapper(new YAMLFactory())
+
+  def fromJson(text: String): CompiledSchema = fromTree(jsonMapper.readTree(text))
+  def fromYaml(text: String): CompiledSchema = fromTree(yamlMapper.readTree(text))
+
+  /** Native coercion table merged into every loaded schema
+    * (reference ships `kye/native_types.kye.json`, merged at
+    * `kye/vm/loader.py:30`). */
+  lazy val nativeTypes: CompiledSchema = fromJson(
+    """{
+      |  "types": {
+      |    "String": {
+      |      "edges": {
+      |        "length": {"type": "Number", "expr": [{"len": null}]},
+      |        "Number": {"type": "Number", "expr": [{"cast": "float"}]}
+      |      }
+      |    },
+      |    "Number": {
+      |      "edges": {
+      |        "String": {"type": "String", "expr": [{"cast": "str"}]}
+      |      }
+      |    },
+      |    "Boolean": {}
+      |  },
+      |  "models": {}
+      |}""".stripMargin)
+
+  /** Load an artifact and merge native types, ready for validation. */
+  def load(text: String, yaml: Boolean = false): CompiledSchema = {
+    val s = if (yaml) fromYaml(text) else fromJson(text)
+    nativeTypes.merge(s)
+  }
+
+  // ---- tree walking -------------------------------------------------------
+
+  private def fromTree(root: JsonNode): CompiledSchema = {
+    val types = objFields(root.get("types")).map { case (name, node) =>
+      name -> parseType(name, node)
+    }.toMap
+    val models = objFields(root.get("models")).map { case (name, node) =>
+      name -> parseModel(name, node)
+    }.toMap
+    CompiledSchema(types, models)
+  }
+
+  private def objFields(node: JsonNode): List[(String, JsonNode)] =
+    if (node == null || node.isNull) Nil
+    else node.properties().asScala.map(e => e.getKey -> e.getValue).toList
+
+  private def optText(node: JsonNode, field: String): Option[String] = {
+    val n = node.get(field)
+    if (n == null || n.isNull) None else Some(n.asText())
+  }
+
+  private def parseModel(name: String, node: JsonNode): Model = {
+    // `index` (single) vs `indexes` (list); each entry a string or list of
+    // strings (`compiled.py:200-222`).
+    val rawIndexes: List[JsonNode] =
+      if (node.has("index")) List(node.get("index"))
+      else if (node.has("indexes")) node.get("indexes").elements().asScala.toList
+      else Nil
+    val indexes = rawIndexes.map { n =>
+      if (n.isTextual) List(n.asText())
+      else n.elements().asScala.map(_.asText()).toList
+    }
+    Model(
+      name = name,
+      indexes = indexes,
+      edges = objFields(node.get("edges")).map { case (en, e) => en -> parseEdge(name, en, e) }.toMap,
+      assertions = parseAssertions(name, node),
+      loc = optText(node, "loc"))
+  }
+
+  private def parseType(name: String, node: JsonNode): TypeSpec =
+    TypeSpec(
+      name = name,
+      parent = optText(node, "parent"),
+      format = optText(node, "format"),
+      conditions =
+        if (node.has("conditions")) Some(parseExpr(node.get("conditions"))) else None,
+      edges = objFields(node.get("edges")).map { case (en, e) => en -> parseEdge(name, en, e) }.toMap,
+      assertions = parseAssertions(name, node),
+      loc = optText(node, "loc"))
+
+  private def parseAssertions(model: String, node: JsonNode): List[Assertion] =
+    if (!node.has("assertions")) Nil
+    else node.get("assertions").elements().asScala.map { a =>
+      Assertion(
+        model = model,
+        msg = a.get("msg").asText(),
+        expr = parseExpr(a.get("expr")),
+        loc = optText(a, "loc"))
+    }.toList
+
+  private def parseEdge(model: String, name: String, node: JsonNode): Edge =
+    Edge(
+      model = model,
+      name = name,
+      none = node.has("none") && node.get("none").asBoolean(false),
+      many = node.has("many") && node.get("many").asBoolean(false),
+      tpe = node.get("type").asText(),
+      title = optText(node, "title"),
+      expr = if (node.has("expr")) Some(parseExpr(node.get("expr"))) else None,
+      loc = optText(node, "loc"))
+
+  private def parseExpr(node: JsonNode): List[Cmd] =
+    node.elements().asScala.map(parseCmd).toList
+
+  /** Accepts `"op"`, `{"op": arg}`, `{"op": [args]}`, `{"op": null}`
+    * (`kye/vm/op.py:74-93`). */
+  private def parseCmd(node: JsonNode): Cmd =
+    if (node.isTextual) Cmd(Op.forName(node.asText()), Nil)
+    else {
+      val fields = objFields(node)
+      require(fields.size == 1, s"Command object must have exactly one key: $node")
+      val (opName, argNode) = fields.head
+      val op = Op.forName(opName)
+      val args: List[Any] =
+        if (argNode == null || argNode.isNull) Nil
+        else if (argNode.isArray) argNode.elements().asScala.map(scalarValue).toList
+        else List(scalarValue(argNode))
+      Cmd(op, args)
+    }
+
+  private def scalarValue(n: JsonNode): Any =
+    if (n.isTextual) n.asText()
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else throw new IllegalArgumentException(s"Unsupported literal: $n")
+}

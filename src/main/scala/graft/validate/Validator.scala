@@ -1,0 +1,384 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schema._
+import graft.expr.ExprCompiler
+
+import scala.collection.mutable.ListBuffer
+
+/** @param strictReferenceParity when true, skip assertions referencing more
+  *   than one column, exactly like the reference (kyepy `loader.py:121`
+  *   evaluates an assertion only when it touches exactly one edge). The
+  *   default evaluates every assertion — predicate columns make the general
+  *   case free (documented superset, SURVEY §2.4-W1).
+  * @param abortOnEmpty replicate the reference's early abort when an
+  *   intermediate table becomes empty (kyepy `loader.py:64-65,128-129,…`).
+  *   Each check is a driver-side `isEmpty` action — right for the parity
+  *   path, wrong at 10^12-row scale; the scale path
+  *   ([[graft.transcript.TranscriptValidator]]) fuses verdicts instead.
+  * @param rowIdCol name of the stable row-identity column the caller must
+  *   provide (the reference relies on the pandas positional index,
+  *   `loader.py:36-41`, which has no distributed analogue).
+  */
+final case class ValidatorConfig(
+    strictReferenceParity: Boolean = false,
+    abortOnEmpty: Boolean = true,
+    rowIdCol: String = "_row")
+
+/** @param survivors the cleaned, index-grouped table (None = model aborted,
+  *   like the reference returning None from `Loader.load`). */
+final case class ValidationResult(
+    violations: DataFrame,
+    survivors: Option[DataFrame],
+    droppedColumns: Seq[String])
+
+/** The 8-stage validation pipeline of the reference loader
+  * (kyepy `kye/vm/loader.py:32-202`) re-expressed as declarative Spark
+  * transforms:
+  *
+  *  - S1 conform: projection + title→name rename, drop unknown columns
+  *  - S2 missing-index: driver-side schema check
+  *  - S3 type check: static dtype comparison + implicit cast via the
+  *    schema's coercion edges; column-level all-or-nothing verdict enforced
+  *    with ONE aggregate job batching every column's try-cast null-delta
+  *  - S4 assertions: Catalyst-compiled predicate columns, null = vacuous
+  *    pass (`coalesce(p, true)` — deliberate deviation from the reference's
+  *    silent null-row drop, SURVEY §2.4-W2)
+  *  - S5 sub-index functional dependency: groupBy(subKey) countDistinct(fullKey)
+  *  - S6 cardinality + group-by-key: ONE shuffle computes every column's
+  *    per-group distinct count, the grouped value, and the member row ids
+  *  - S7 index-conflict: union of key projections, countDistinct(entity)>1
+  *  - S8 survivors returned
+  *
+  * Progressive filtering is preserved: rows failing a stage never reach
+  * later stages.
+  */
+class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfig()) {
+
+  private val rowId = config.rowIdCol
+
+  def validate(modelName: String, input: DataFrame): ValidationResult = {
+    val spark = input.sparkSession
+    require(input.columns.contains(rowId),
+      s"input must carry a stable row-id column '$rowId' (use Validator.withRowIds)")
+    val model = schema.models.getOrElse(modelName,
+      throw new IllegalArgumentException(s"Source '$modelName' not found"))
+
+    val violations = ListBuffer.empty[DataFrame]
+    def abort(): ValidationResult =
+      ValidationResult(unionAll(spark, violations.toList), None, Nil)
+
+    // ---- S1: conform columns (rename titles, drop unknown) ----------------
+    val colNameMap: Map[String, String] =
+      model.edges.values.map(e => e.title.getOrElse(e.name) -> e.name).toMap
+    val dataColsIn = input.columns.filterNot(_ == rowId)
+    val (known, dropped) = dataColsIn.partition(colNameMap.contains)
+    if (dropped.nonEmpty)
+      System.err.println(s"Warning: Table '${model.name}' had extra columns: ${dropped.mkString(",")}")
+    if (known.isEmpty) return abort() // all columns dropped ⇒ empty table (loader.py:64-65)
+    var df = input.select((col(rowId) +: known.map(c => col(c).as(colNameMap(c)))): _*)
+    var dataCols: Seq[String] = known.map(colNameMap)
+
+    // ---- S2: missing index columns (driver-side, no job) ------------------
+    val missingIdx = model.index.filterNot(dataCols.contains)
+    if (missingIdx.nonEmpty) {
+      violations += Violations.local(spark, missingIdx.map { c =>
+        val e = model.edge(c)
+        ("MissingIndex", model.name, None, Some(c), e.loc, None)
+      })
+      return abort()
+    }
+
+    // ---- S3: column type check + implicit cast ----------------------------
+    val s3 = typeCheck(spark, model, df, dataCols, violations)
+    s3 match {
+      case None => return abort()
+      case Some((d, cols)) => df = d; dataCols = cols
+    }
+    if (dataCols.isEmpty) return abort()
+    df = df.cache()
+    if (config.abortOnEmpty && df.isEmpty) return abort()
+
+    // ---- S4: assertions as predicate columns ------------------------------
+    val applicable = model.assertions.filter { a =>
+      if (config.strictReferenceParity)
+        a.edges.size == 1 && dataCols.contains(a.edges.head)
+      else a.edges.forall(dataCols.contains)
+    }
+    if (applicable.nonEmpty) {
+      val rawPreds = applicable.map(a => a -> ExprCompiler.compile(a.expr))
+      // null verdict = vacuous pass for violation reporting (see class doc)
+      for ((a, p) <- rawPreds) {
+        violations += df.filter(!coalesce(p, lit(true))).select(
+          lit("AssertionFailed").as("err"), lit(model.name).as("model"),
+          col(rowId).cast(LongType).as("row"),
+          explode(array(a.edges.map(lit(_)): _*)).as("col"),
+          lit(a.loc.orNull).cast(StringType).as("loc"),
+          lit(a.msg).as("expected"))
+      }
+      val survivorPreds: Seq[Column] =
+        if (config.strictReferenceParity) {
+          // Reference wart W2 (loader.py:123-126): when an assertion has at
+          // least one strictly-failing row, null-valued rows are ALSO
+          // silently dropped from the survivors (index misalignment in
+          // `mask &= result`). One batched job decides which assertions
+          // fired.
+          val flags = rawPreds.zipWithIndex.map { case ((_, p), i) =>
+            sum(when(!coalesce(p, lit(true)), 1L).otherwise(0L)).as(s"_f$i")
+          }
+          val fired = df.agg(flags.head, flags.tail: _*).collect()(0)
+          rawPreds.zipWithIndex.map { case ((_, p), i) =>
+            val anyFailed = !fired.isNullAt(i) && fired.getLong(i) > 0
+            if (anyFailed) p else lit(true) // strict: null drops too
+          }
+        } else rawPreds.map { case (_, p) => coalesce(p, lit(true)) }
+      df = df.filter(survivorPreds.reduce(_ && _)).cache()
+      if (config.abortOnEmpty && df.isEmpty) return abort()
+    }
+
+    // ---- S5: sub-index functional dependency ------------------------------
+    if (model.indexes.size > 1) {
+      val fullKey = keyStruct(model.index)
+      val badRowSets = ListBuffer.empty[DataFrame]
+      for (subIdx <- model.indexes) {
+        val tagged = df.withColumn("_sk", keyStruct(subIdx))
+        val badKeys = tagged.groupBy(col("_sk"))
+          .agg(countDistinct(fullKey).as("_n")).filter(col("_n") > 1).select("_sk")
+        val badRows = tagged.join(badKeys, "_sk").select(col(rowId))
+        badRowSets += badRows
+        violations += badRows.select(
+          lit("NonUniqueSubIndex").as("err"), lit(model.name).as("model"),
+          col(rowId).cast(LongType).as("row"),
+          explode(array(subIdx.map(lit(_)): _*)).as("col"),
+          lit(model.loc.orNull).cast(StringType).as("loc"),
+          lit(null).cast(StringType).as("expected"))
+      }
+      val allBad = badRowSets.reduce(_ union _).distinct()
+      df = df.join(allBad, Seq(rowId), "left_anti").cache()
+      if (config.abortOnEmpty && df.isEmpty) return abort()
+    }
+
+    // ---- S6: cardinality verdicts + group-by-key (one shuffle) ------------
+    val key = keyStruct(model.index)
+    val aggExprs = ListBuffer.empty[Column]
+    aggExprs += collect_list(col(rowId)).as("_rows")
+    for (c <- dataCols) {
+      val isArray = df.schema(c).dataType.isInstanceOf[ArrayType]
+      if (isArray) {
+        // per-value semantics: distinct non-null elements across the group
+        // (reference: explode().dropna().nunique(), loader.py:157-159)
+        val vals = array_distinct(filter(
+          flatten(collect_list(coalesce(col(c), array()))), _.isNotNull))
+        aggExprs += vals.as(s"_vals_$c")
+      } else {
+        aggExprs += collect_set(col(c)).as(s"_vals_$c") // excludes nulls
+      }
+    }
+    val grouped0 = df.groupBy(key.as("_key")).agg(aggExprs.head, aggExprs.tail.toSeq: _*)
+    // first non-null in row order is not distributed-stable; sorted-distinct
+    // is. Groups where it matters (>1 distinct on a single-valued edge) are
+    // dropped as MultipleValues anyway, so survivors are unaffected.
+    val groupedCols: Seq[Column] =
+      Seq(col("_key"), col("_rows")) ++
+        dataCols.map { c =>
+          val vals = col(s"_vals_$c")
+          val e = model.edge(c)
+          // `get` (not getItem) tolerates the empty-group case under ANSI
+          val out = if (e.many) sort_array(vals) else get(sort_array(vals), lit(0))
+          out.as(c)
+        } ++
+        dataCols.map(c => size(col(s"_vals_$c")).as(s"_n_$c"))
+    val grouped = grouped0.select(groupedCols: _*).cache()
+
+    var groupOk: Column = lit(true)
+    for (c <- dataCols) {
+      val e = model.edge(c)
+      val n = col(s"_n_$c")
+      if (!e.many) {
+        violations += grouped.filter(n > 1).select(
+          lit("MultipleValues").as("err"), lit(model.name).as("model"),
+          explode(col("_rows")).as("row"),
+          lit(c).as("col"), lit(e.loc.orNull).cast(StringType).as("loc"),
+          lit(null).cast(StringType).as("expected"))
+        groupOk = groupOk && !(n > 1)
+      }
+      if (!e.none) {
+        violations += grouped.filter(n === 0).select(
+          lit("MissingValue").as("err"), lit(model.name).as("model"),
+          explode(col("_rows")).as("row"),
+          lit(c).as("col"), lit(e.loc.orNull).cast(StringType).as("loc"),
+          lit(null).cast(StringType).as("expected"))
+        groupOk = groupOk && !(n === 0)
+      }
+    }
+    var gdf = grouped.filter(groupOk).cache()
+    if (config.abortOnEmpty && gdf.isEmpty) return abort()
+
+    // ---- S7: index-conflict across alternate keys --------------------------
+    if (model.indexes.size > 1) {
+      val pairs = for {
+        i <- model.indexes.indices; j <- model.indexes.indices
+        if i < j && model.indexes(i).size == model.indexes(j).size
+      } yield (model.indexes(i), model.indexes(j))
+      val affectedKeySets = ListBuffer.empty[DataFrame]
+      for ((idx1, idx2) <- pairs) {
+        val sameType = idx1.zip(idx2).forall { case (a, b) =>
+          gdf.schema(a).dataType == gdf.schema(b).dataType }
+        if (sameType) {
+          val p1 = gdf.select(keyStructOver(gdf, idx1).as("_v"), col("_key"), col("_rows"))
+          val p2 = gdf.select(keyStructOver(gdf, idx2).as("_v"), col("_key"), col("_rows"))
+          val t = p1.union(p2)
+          val conflicts = t.groupBy("_v").agg(countDistinct(col("_key")).as("_n"))
+            .filter(col("_n") > 1).select("_v")
+          val affected = t.join(conflicts, "_v").select(col("_key"), col("_rows")).distinct()
+          affectedKeySets += affected.select("_key")
+          val edgesOut = (idx1 ++ idx2).distinct
+          violations += affected.select(
+            lit("IndexConflict").as("err"), lit(model.name).as("model"),
+            explode(col("_rows")).as("row"),
+            lit(null).cast(StringType).as("col"),
+            lit(model.loc.orNull).cast(StringType).as("loc"),
+            lit(null).cast(StringType).as("expected"))
+            .withColumn("col", explode(array(edgesOut.map(lit(_)): _*)))
+            .select("err", "model", "row", "col", "loc", "expected")
+        }
+      }
+      if (affectedKeySets.nonEmpty) {
+        val allAffected = affectedKeySets.reduce(_ union _).distinct()
+        gdf = gdf.join(allAffected, Seq("_key"), "left_anti")
+        if (config.abortOnEmpty && gdf.isEmpty) return abort()
+      }
+    }
+
+    // ---- S8: surviving grouped table ---------------------------------------
+    val survivors = gdf.select(dataCols.map(col): _*)
+    ValidationResult(unionAll(spark, violations.toList), Some(survivors), dropped.toSeq)
+  }
+
+  // ---- S3 impl -------------------------------------------------------------
+
+  /** Returns updated (df, dataCols) or None on abort. Batches every
+    * column's cast null-delta into one aggregate job (the reference runs a
+    * python try/except per column, `loader.py:96-105`). */
+  private def typeCheck(
+      spark: SparkSession, model: Model, df0: DataFrame, dataCols: Seq[String],
+      violations: ListBuffer[DataFrame]): Option[(DataFrame, Seq[String])] = {
+
+    sealed trait Plan
+    case object Ok extends Plan
+    case object Bad extends Plan
+    final case class NeedsCast(program: List[Cmd]) extends Plan
+
+    val plans: Seq[(String, Plan)] = dataCols.map { c =>
+      val edge = model.edge(c)
+      val dt = df0.schema(c).dataType
+      val elem = dt match { case ArrayType(e, _) => e; case other => other }
+      val inferred = inferTypeName(elem)
+      val plan: Plan =
+        if (inferred == edge.tpe) Ok
+        else if (!schema.types.contains(edge.tpe))
+          throw new UnsupportedOperationException(s"Unknown type '${edge.tpe}'")
+        else schema.types.get(inferred).flatMap(_.edges.get(edge.tpe)) match {
+          case Some(castEdge) if castEdge.expr.isDefined => NeedsCast(castEdge.expr.get)
+          case _ => Bad
+        }
+      c -> plan
+    }
+
+    // evaluate all pending casts' null-deltas in one job
+    val pending = plans.collect { case (c, NeedsCast(p)) => c -> p }
+    val castCols: Map[String, Column] = pending.map { case (c, program) =>
+      val full = Cmd.one(Op.COL, c) :: program
+      val casted = df0.schema(c).dataType match {
+        case ArrayType(_, _) =>
+          transform(col(c), x => ExprCompiler.compile(full, _ => x))
+        case _ => ExprCompiler.compile(full)
+      }
+      c -> casted
+    }.toMap
+    val castFailed: Set[String] =
+      if (pending.isEmpty) Set.empty
+      else {
+        val guards = pending.map { case (c, _) =>
+          val bad = df0.schema(c).dataType match {
+            case ArrayType(_, _) =>
+              exists(zip_with(col(c), castCols(c), (o, n) => o.isNotNull && n.isNull), identity)
+            case _ => col(c).isNotNull && castCols(c).isNull
+          }
+          sum(when(bad, 1L).otherwise(0L)).as(c)
+        }
+        val row = df0.agg(guards.head, guards.tail: _*).collect()(0)
+        pending.map(_._1).filter(c => row.getAs[Long](c) > 0).toSet
+      }
+
+    var indexBad = false
+    val dropCols = ListBuffer.empty[String]
+    plans.foreach {
+      case (c, Bad) =>
+        reportWrongType(spark, model, c, violations); dropCols += c
+        if (model.index.contains(c)) indexBad = true
+      case (c, NeedsCast(_)) if castFailed(c) =>
+        reportWrongType(spark, model, c, violations); dropCols += c
+        if (model.index.contains(c)) indexBad = true
+      case _ => ()
+    }
+    if (indexBad) return None
+
+    val keep = dataCols.filterNot(dropCols.contains)
+    val out = df0.select((col(rowId) +: keep.map { c =>
+      if (castCols.contains(c) && !castFailed(c)) castCols(c).as(c) else col(c)
+    }): _*)
+    Some((out, keep))
+  }
+
+  private def reportWrongType(
+      spark: SparkSession, model: Model, c: String, violations: ListBuffer[DataFrame]): Unit = {
+    val e = model.edge(c)
+    violations += Violations.local(spark,
+      Seq(("InvalidType", model.name, None, Some(c), e.loc, Some(e.tpe))))
+  }
+
+  /** Physical dtype → Kye type name (reference infers from pandas dtype,
+    * `loader.py:204-214`). */
+  private def inferTypeName(dt: DataType): String = dt match {
+    case BooleanType => "Boolean"
+    case _: NumericType => "Number"
+    case StringType => "String"
+    case TimestampType => "Timestamp"
+    case DateType => "Date"
+    case other => other.simpleString
+  }
+
+  /** Candidate-key value: raw column for single-edge keys (so alternate
+    * single-column keys compare cross-column, reference `hash_columns`
+    * `loader.py:17-20`), positional-named struct for composites (collision
+    * safe — never string concat). */
+  private def keyStruct(cols: Seq[String]): Column =
+    if (cols.size == 1) col(cols.head)
+    else struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"_$i") }: _*)
+
+  private def keyStructOver(df: DataFrame, cols: Seq[String]): Column = keyStruct(cols)
+
+  private def unionAll(spark: SparkSession, dfs: List[DataFrame]): DataFrame =
+    dfs match {
+      case Nil => Violations.empty(spark)
+      case l   => l.reduce(_ unionByName _)
+    }
+}
+
+object Validator {
+  /** Attach a stable 0-based row id reflecting input order (the analogue of
+    * the reference's positional RangeIndex). Uses zipWithIndex — stable
+    * w.r.t. partition order of the source, intended for test fixtures and
+    * small ingress tables; scale paths anchor on natural keys instead. */
+  def withRowIds(df: DataFrame, rowIdCol: String = "_row"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField(rowIdCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
