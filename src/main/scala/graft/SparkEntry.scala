@@ -3,23 +3,88 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.schema.CompiledSchema
+import graft.schema.{Cmd, CompiledSchema, Op}
+import graft.expr.ExprCompiler
 import graft.validate.{Validator, ValidatorConfig}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.transcript.{StatsProfiler, TranscriptValidator}
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, each with a DuckDB-equivalent oracle in [[oracleSql]].
+  * SURVEY.md §2 (+ the training-data ops), each with a DuckDB-equivalent
+  * oracle in [[oracleSql]] where the math is engine-portable (hash-based
+  * ops get rows-only checks).
   *
   * The transcript-shaped input mandated by BASELINE.json `input_hint` is
   * derived deterministically from the `events` table (same derivation in
   * Spark and in the oracle SQL), with error injection (duplicate keys,
-  * sequence gaps) keyed off `event_id` arithmetic so both engines inject
-  * identically.
+  * sequence gaps, null roles/text) keyed off `event_id` arithmetic so both
+  * engines inject identically.
   */
 object SparkEntry {
 
-  /** Kye compiled artifact used by the engine-path queries: an Event model
-    * keyed by event_id with a row assertion. Same JSON format as the
-    * reference compiler output (kyepy kye/compiled.py:296-308). */
+  // ---------- shared inputs ---------------------------------------------------
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Transcript table derived from events: conv = user, turns ordered by
+    * (ts, event_id); deterministic error injection keyed on event_id:
+    * +1 turn gap (%97), null role (%251), null text (%157). */
+  def transcripts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(
+      col("user_id").cast("string").as("conv_id"),
+      (row_number().over(w) - 1 +
+        when(col("event_id") % 97 === 0, 1).otherwise(0)).cast("int").as("turn_idx"),
+      when(col("event_id") % 251 === 0, lit(null: String))
+        .otherwise(
+          when(col("event_type") === "click", "user")
+            .when(col("event_type") === "view", "assistant")
+            .when(col("event_type") === "signup", "system")
+            .when(col("event_type") === "purchase", "tool")
+            .otherwise("robot")).as("role"), // 'error' events -> invalid role
+      when(col("event_id") % 157 === 0, lit(null: String))
+        .otherwise(col("props")).as("text"),
+      lit(null).cast("string").as("tool"),
+      col("ts"),
+      col("event_id"))
+  }
+
+  private val transcriptSqlBase =
+    """SELECT CAST(user_id AS VARCHAR) AS conv_id,
+      | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+      |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS INTEGER) AS turn_idx,
+      | CASE WHEN event_id % 251 = 0 THEN NULL
+      |      ELSE CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
+      |           WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'tool'
+      |           ELSE 'robot' END END AS role,
+      | CASE WHEN event_id % 157 = 0 THEN NULL ELSE props END AS text,
+      | CAST(NULL AS VARCHAR) AS tool, ts, event_id
+      |FROM events""".stripMargin
+
+  /** Transcripts with duplicate-(conv_id, turn_idx) injection (%101). */
+  def transcriptsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val t = transcripts(spark, dir)
+    t.union(t.filter(col("event_id") % 101 === 0))
+  }
+
+  /** Documents with injected exact duplicates: rows with doc_id % 17 == 0
+    * appear again under doc_id + 10000000. */
+  def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    d.union(d.filter(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L))
+  }
+
+  // ---------- kye-engine fixtures ---------------------------------------------
+
   private val eventArtifact: String =
     """{"models": {"Event": {
       |  "index": "event_id",
@@ -32,32 +97,12 @@ object SparkEntry {
       |    {"msg": "value <= 300", "expr": [{"col": "value"}, {"le": 300}]}
       |  ]}}}""".stripMargin
 
-  private def eventSchema = CompiledSchema.load(eventArtifact)
-
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-
-  /** Transcript table derived from events: conv = user, turns ordered by
-    * (ts, event_id); `turn_idx` gets a deterministic +1 gap injection at
-    * event_id % 97 == 0. */
-  def transcripts(spark: SparkSession, dir: String): DataFrame = {
+  private def validateEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    ev.select(
-      col("user_id").cast("string").as("conv_id"),
-      (row_number().over(w) - 1 +
-        when(col("event_id") % 97 === 0, 1).otherwise(0)).cast("int").as("turn_idx"),
-      col("event_type").as("role"),
-      col("props").as("text"),
-      col("ts"),
-      col("event_id"))
-  }
-
-  /** Transcripts with duplicate-(conv_id, turn_idx) injection: rows with
-    * event_id % 101 == 0 appear twice. */
-  def transcriptsWithDups(spark: SparkSession, dir: String): DataFrame = {
-    val t = transcripts(spark, dir)
-    t.union(t.filter(col("event_id") % 101 === 0))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("_row", col("event_id")) // natural key as violation anchor
+    new Validator(CompiledSchema.load(eventArtifact), ValidatorConfig(abortOnEmpty = false))
+      .validate("Event", ev).violations
   }
 
   /** Flagship: full Kye validation pipeline over sf0.001 events —
@@ -65,44 +110,97 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     validateEvents(spark, "/root/testdata/sf0.001")
 
-  private def validateEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("_row", col("event_id")) // natural key as violation anchor
-    val result = new Validator(eventSchema, ValidatorConfig(abortOnEmpty = false))
-      .validate("Event", ev)
-    result.violations
-  }
+  // ---------- queries -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S4 assertions through the real pipeline: violation rows anchored on
-    // the natural key
+
+    // == Kye engine: expression VM opcode coverage (SURVEY §2.1), compiled
+    // through ExprCompiler postfix programs into one Catalyst projection ==
+    "q_expr_opcodes" -> ((s, dir) => {
+      import Op._
+      def p(cmds: Cmd*): org.apache.spark.sql.Column = ExprCompiler.compile(cmds)
+      events(s, dir).select(
+        col("event_id"),
+        p(Cmd.one(COL, "value"), Cmd.one(COL, "event_id"), Cmd(ADD)).as("add_vi"),
+        p(Cmd.one(COL, "value"), Cmd(NEG), Cmd.one(MOD, 7.0)).as("negmod7"),
+        p(Cmd.one(COL, "event_type"), Cmd(LEN)).as("etype_len"),
+        p(Cmd.one(COL, "event_type"), Cmd.one(CONCAT, "!")).as("etype_bang"),
+        p(Cmd.one(COL, "event_type"), Cmd.one(MATCHES, "s.g")).as("etype_re"),
+        p(Cmd.one(COL, "value"), Cmd.one(CAST, "str")).as("value_str"),
+        p(Cmd.one(COL, "value"), Cmd.one(GT, 50.0), Cmd.one(COL, "value"),
+          Cmd.one(LE, 150.0), Cmd(AND), Cmd.one(COL, "event_id"),
+          Cmd.one(LT, 10.0), Cmd(OR)).as("band_or_early"),
+        p(Cmd.one(COL, "props"), Cmd(NA)).as("props_na"),
+        p(Cmd.one(COL, "props"), Cmd(DEF), Cmd(NOT)).as("props_not_def"),
+        p(Cmd.one(COL, "value"), Cmd.one(SUB, 1.0), Cmd.one(MUL, 2.0),
+          Cmd.one(DIV, 4.0)).as("arith_chain"),
+        p(Cmd.one(COL, "value"), Cmd.one(NE, 9.64)).as("ne_lit"),
+        p(Cmd.one(COL, "event_id"), Cmd.one(GE, 500.0), Cmd.one(COL, "event_id"),
+          Cmd.one(EQ, 500.0), Cmd(OR)).as("ge_eq"))
+    }),
+
+    // == Kye engine: S4 assertions; violations anchored on natural key ==
     "q_assert_violations" -> ((s, dir) =>
       validateEvents(s, dir).select(
         col("err"), col("row").as("row_id"), col("col").as("col_name"))),
 
-    // S6 cardinality+group through the real pipeline: survivors of a clean
-    // model = the index-grouped table
-    "q_kye_survivors" -> ((s, dir) => {
-      val ev = events(s, dir)
-        .select(col("event_id"), col("event_type"))
-        .withColumn("_row", col("event_id"))
+    // == Kye engine: S3 implicit cast (Number -> String coercion edge) ==
+    "q_kye_typecheck_cast" -> ((s, dir) => {
       val schema = CompiledSchema.load(
         """{"models": {"Event": {"index": "event_id", "edges": {
-          |  "event_id": {"type": "Number"}, "event_type": {"type": "String"}}}}}""".stripMargin)
+          |  "event_id": {"type": "Number"}, "value": {"type": "String"}}}}}""".stripMargin)
+      val ev = events(s, dir).select(col("event_id"), col("value"))
+        .withColumn("_row", col("event_id"))
       new Validator(schema, ValidatorConfig(abortOnEmpty = false))
         .validate("Event", ev).survivors.get
     }),
 
-    // uniqueness of (conv_id, turn_idx) — dup-injected transcripts
+    // == Kye engine: S6 cardinality + group-by-key (clean model) ==
+    "q_kye_survivors" -> ((s, dir) => {
+      val schema = CompiledSchema.load(
+        """{"models": {"Event": {"index": "event_id", "edges": {
+          |  "event_id": {"type": "Number"}, "event_type": {"type": "String"}}}}}""".stripMargin)
+      val ev = events(s, dir).select(col("event_id"), col("event_type"))
+        .withColumn("_row", col("event_id"))
+      new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+        .validate("Event", ev).survivors.get
+    }),
+
+    // == Kye engine: S5 sub-index functional dependency ==
+    "q_kye_subindex" -> ((s, dir) => {
+      val schema = CompiledSchema.load(
+        """{"models": {"Event": {"indexes": ["event_id", "dup_key"], "edges": {
+          |  "event_id": {"type": "Number"}, "dup_key": {"type": "Number"}}}}}""".stripMargin)
+      val ev = events(s, dir).select(col("event_id"), (col("event_id") % 500).as("dup_key"))
+        .withColumn("_row", col("event_id"))
+      new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+        .validate("Event", ev).violations
+        .filter(col("err") === "NonUniqueSubIndex")
+        .select(col("err"), col("row").as("row_id"), col("col").as("col_name"))
+    }),
+
+    // == Kye engine: S7 index-conflict across alternate keys ==
+    "q_kye_index_conflict" -> ((s, dir) => {
+      val schema = CompiledSchema.load(
+        """{"models": {"Event": {"indexes": ["k1", "k2"], "edges": {
+          |  "k1": {"type": "Number"}, "k2": {"type": "Number"}}}}}""".stripMargin)
+      val ev = events(s, dir).select(
+        col("event_id").as("k1"), (col("event_id") + 1).as("k2"),
+        col("event_id").as("_row"))
+      new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+        .validate("Event", ev).violations
+        .filter(col("err") === "IndexConflict")
+        .select(col("err"), col("row").as("row_id"), col("col").as("col_name"))
+    }),
+
+    // == transcript suite: uniqueness of (conv_id, turn_idx) ==
     "q_transcript_uniqueness" -> ((s, dir) =>
       transcriptsWithDups(s, dir)
         .groupBy(col("conv_id"), col("turn_idx"))
         .agg(count(lit(1)).as("n_dup"))
         .filter(col("n_dup") > 1)),
 
-    // gap-free 0..n sequence per conversation (aggregate formulation: no
-    // per-conv sort; count/min/max are mergeable → skew-safe)
+    // == transcript suite: gap-free sequence (aggregate form, no sort) ==
     "q_transcript_seq_gaps" -> ((s, dir) =>
       transcripts(s, dir)
         .groupBy(col("conv_id"))
@@ -112,7 +210,27 @@ object SparkEntry {
           max(col("turn_idx")).as("max_turn"))
         .filter(!(col("min_turn") === 0 && col("max_turn") === col("n_distinct") - 1))),
 
-    // single-pass column stats profile (exact variants for the oracle)
+    // == transcript suite: row-level predicate violations (one codegen pass) ==
+    "q_transcript_row_violations" -> ((s, dir) =>
+      new TranscriptValidator().rowViolations(transcripts(s, dir))
+        .select(col("constraint_id"), col("conv_id"), col("turn_idx"))),
+
+    // == transcript suite: per-conversation verdicts ==
+    "q_conv_verdicts" -> ((s, dir) => {
+      val v = new TranscriptValidator(
+        graft.transcript.TranscriptSuiteConfig(persistSeq = false))
+      v.convVerdicts(v.seqTable(transcripts(s, dir)))
+        .select(col("conv_id"), col("n_turns"), col("n_rows"), col("min_turn"),
+          col("max_turn"), col("n_dup_keys"), col("n_gaps"), col("pass"))
+    }),
+
+    // == stats: single-pass column profile (exact legs only for the oracle) ==
+    "q_stats_colprofile" -> ((s, dir) =>
+      StatsProfiler.profile(events(s, dir), Seq("user_id", "value", "event_type"))
+        .select(col("column").as("col_name"), col("count"), col("nulls"),
+          col("min"), col("max"))),
+
+    // == stats: aggregate profile with decimal-exact sums ==
     "q_stats_profile" -> ((s, dir) =>
       events(s, dir).agg(
         count(lit(1)).as("n_rows"),
@@ -120,39 +238,223 @@ object SparkEntry {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
-        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props")))
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))),
+
+    // == stats: histogram of text lengths (drift input) ==
+    "q_textlen_histogram" -> ((s, dir) =>
+      StatsProfiler.numericHistogram(documents(s, dir), length(col("text")), 0, 100, 30)
+        .select(col("bin"), col("n"))),
+
+    // == dedup: exact (hash-groupBy) over dup-injected documents ==
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(docsWithDups(s, dir), "doc_id", "text")),
+
+    // == dedup: exact unigram Jaccard via pruned inverted index ==
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docsWithDups(s, dir).filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        n = 1, threshold = 0.8, maxDocFreq = 500)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    // == dedup: MinHash + LSH (hash-based; rows-only check) ==
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashNearDuplicates(docsWithDups(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)),
+
+    // == dedup: SimHash near-dup (hash-based; rows-only check) ==
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashNearDuplicates(docsWithDups(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // == dedup: embedding-cosine near-dup (hash buckets; rows-only check) ==
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val withDups = e.union(
+        e.filter(col("vec_id") % 13 === 0).withColumn("vec_id", col("vec_id") + 10000000L))
+      Dedup.embeddingNearDuplicates(withDups, "vec_id", "embedding", threshold = 0.999)
+    }),
+
+    // == similarity: exact brute-force cosine top-k ==
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", queries, "query_id", "qvec", 5)
+        .select(col("query_id"), col("item_id"), col("rank"))
+    }),
+
+    // == similarity: LSH-bucketed approximate top-k (rows-only check) ==
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshTopK(e, "vec_id", "embedding", queries, "query_id", "qvec",
+        k = 5, planes = 4, tables = 8)
+        .select(col("query_id"), col("item_id"), col("rank"))
+    }),
+
+    // == text analysis: per-doc stats ==
+    "q_text_stats" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+        length(col("text")).as("n_chars"),
+        coalesce(regexp_count(col("text"), lit("[^\\s\\p{L}\\p{N}]")), lit(0)).as("n_punct"))),
+
+    // == text analysis: language id distribution (heuristic; rows-only) ==
+    "q_lang_counts" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy(TextAnalysis.langId(col("text")).as("lang_detected"))
+        .agg(count(lit(1)).as("n"))),
+
+    // == text analysis: quality score deciles (heuristic; rows-only) ==
+    "q_quality_buckets" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy(floor(TextAnalysis.qualityScore(col("text")) * 10).as("decile"))
+        .agg(count(lit(1)).as("n"))),
+
+    // == text analysis: content fingerprint dedup groups ==
+    "q_fingerprint_groups" -> ((s, dir) =>
+      docsWithDups(s, dir)
+        .groupBy(TextAnalysis.contentFingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n") > 1)
+        .select(col("keep_id"), col("n")))
   )
 
-  def oracleSql: Map[String, String] = {
-    val tSql =
-      """SELECT CAST(user_id AS VARCHAR) AS conv_id,
-        | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
-        |      + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS INTEGER) AS turn_idx,
-        | event_type AS role, props AS text, ts, event_id
-        |FROM events""".stripMargin
-    Map(
-      "q_assert_violations" ->
-        """SELECT 'AssertionFailed' AS err, event_id AS row_id, 'value' AS col_name
-          |FROM events WHERE NOT (value <= 300)""".stripMargin,
-      "q_kye_survivors" ->
-        "SELECT event_id, event_type FROM events",
-      "q_transcript_uniqueness" ->
-        s"""WITH t AS ($tSql),
-           | d AS (SELECT * FROM t UNION ALL SELECT * FROM t WHERE event_id % 101 = 0)
-           |SELECT conv_id, turn_idx, count(*) AS n_dup
-           |FROM d GROUP BY conv_id, turn_idx HAVING count(*) > 1""".stripMargin,
-      "q_transcript_seq_gaps" ->
-        s"""WITH t AS ($tSql)
-           |SELECT conv_id, count(DISTINCT turn_idx) AS n_distinct,
-           |       min(turn_idx) AS min_turn, max(turn_idx) AS max_turn
-           |FROM t GROUP BY conv_id
-           |HAVING NOT (min(turn_idx) = 0 AND max(turn_idx) = count(DISTINCT turn_idx) - 1)""".stripMargin,
-      "q_stats_profile" ->
-        """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
-          |       min(value) AS min_value, max(value) AS max_value,
-          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-          |       count(*) FILTER (WHERE props IS NULL) AS null_props
-          |FROM events""".stripMargin
-    )
-  }
+  // ---------- oracles -----------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_expr_opcodes" ->
+      """SELECT event_id,
+        | value + event_id AS add_vi,
+        | ((-value % 7) + 7) % 7 AS negmod7,
+        | CAST(length(event_type) AS INTEGER) AS etype_len,
+        | event_type || '!' AS etype_bang,
+        | regexp_matches(event_type, 's.g') AS etype_re,
+        | CAST(value AS VARCHAR) AS value_str,
+        | (value > 50 AND value <= 150) OR event_id < 10 AS band_or_early,
+        | props IS NULL AS props_na,
+        | NOT (props IS NOT NULL) AS props_not_def,
+        | ((value - 1) * 2) / 4 AS arith_chain,
+        | value != 9.64 AS ne_lit,
+        | event_id >= 500 OR event_id = 500 AS ge_eq
+        |FROM events""".stripMargin,
+    "q_assert_violations" ->
+      """SELECT 'AssertionFailed' AS err, event_id AS row_id, 'value' AS col_name
+        |FROM events WHERE NOT (value <= 300)""".stripMargin,
+    "q_kye_typecheck_cast" ->
+      "SELECT event_id, CAST(value AS VARCHAR) AS value FROM events",
+    "q_kye_survivors" ->
+      "SELECT event_id, event_type FROM events",
+    "q_kye_subindex" ->
+      """WITH t AS (SELECT event_id, event_id % 500 AS dup_key FROM events),
+        | bad AS (SELECT dup_key FROM t GROUP BY dup_key HAVING count(DISTINCT event_id) > 1)
+        |SELECT 'NonUniqueSubIndex' AS err, event_id AS row_id, 'dup_key' AS col_name
+        |FROM t JOIN bad USING (dup_key)""".stripMargin,
+    "q_kye_index_conflict" ->
+      """WITH t AS (SELECT event_id AS k1, event_id + 1 AS k2 FROM events),
+        | u AS (SELECT k1 AS v, k1 AS key FROM t UNION ALL SELECT k2 AS v, k1 AS key FROM t),
+        | bad AS (SELECT v FROM u GROUP BY v HAVING count(DISTINCT key) > 1),
+        | affected AS (SELECT DISTINCT key FROM u JOIN bad USING (v))
+        |SELECT 'IndexConflict' AS err, key AS row_id, c.col_name
+        |FROM affected CROSS JOIN (VALUES ('k1'), ('k2')) AS c(col_name)""".stripMargin,
+    "q_transcript_uniqueness" ->
+      s"""WITH t AS ($transcriptSqlBase),
+         | d AS (SELECT * FROM t UNION ALL SELECT * FROM t WHERE event_id % 101 = 0)
+         |SELECT conv_id, turn_idx, count(*) AS n_dup
+         |FROM d GROUP BY conv_id, turn_idx HAVING count(*) > 1""".stripMargin,
+    "q_transcript_seq_gaps" ->
+      s"""WITH t AS ($transcriptSqlBase)
+         |SELECT conv_id, count(DISTINCT turn_idx) AS n_distinct,
+         |       min(turn_idx) AS min_turn, max(turn_idx) AS max_turn
+         |FROM t GROUP BY conv_id
+         |HAVING NOT (min(turn_idx) = 0 AND max(turn_idx) = count(DISTINCT turn_idx) - 1)""".stripMargin,
+    "q_transcript_row_violations" ->
+      s"""WITH t AS ($transcriptSqlBase)
+         |SELECT 'null_role' AS constraint_id, conv_id, turn_idx FROM t WHERE role IS NULL
+         |UNION ALL
+         |SELECT 'role_enum' AS constraint_id, conv_id, turn_idx FROM t
+         |WHERE role IS NOT NULL AND role NOT IN ('system', 'user', 'assistant', 'tool')
+         |UNION ALL
+         |SELECT 'null_text' AS constraint_id, conv_id, turn_idx FROM t WHERE text IS NULL""".stripMargin,
+    "q_conv_verdicts" ->
+      s"""WITH t AS ($transcriptSqlBase),
+         | k AS (SELECT conv_id, turn_idx, count(*) AS n FROM t
+         |       WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+         |       GROUP BY conv_id, turn_idx),
+         | s AS (SELECT *, lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+         |       FROM k),
+         | v AS (SELECT conv_id, count(*) AS n_turns, CAST(sum(n) AS BIGINT) AS n_rows,
+         |        min(turn_idx) AS min_turn, max(turn_idx) AS max_turn,
+         |        CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+         |        CAST(sum(CASE WHEN (prev IS NULL AND turn_idx > 0)
+         |                   OR (prev IS NOT NULL AND turn_idx != prev + 1)
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+         |       FROM s GROUP BY conv_id)
+         |SELECT conv_id, n_turns, n_rows, min_turn, max_turn, n_dup_keys, n_gaps,
+         |  (n_gaps = 0 AND min_turn = 0 AND max_turn = n_turns - 1
+         |   AND n_dup_keys = 0) AS pass
+         |FROM v""".stripMargin,
+    "q_stats_colprofile" ->
+      """SELECT 'user_id' AS col_name, count(user_id) AS count,
+        |       count(*) - count(user_id) AS nulls,
+        |       CAST(min(user_id) AS VARCHAR) AS min, CAST(max(user_id) AS VARCHAR) AS max
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(value), count(*) - count(value),
+        |       CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(event_type), count(*) - count(event_type),
+        |       min(event_type), max(event_type) FROM events""".stripMargin,
+    "q_stats_profile" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       count(*) FILTER (WHERE props IS NULL) AS null_props
+        |FROM events""".stripMargin,
+    "q_textlen_histogram" ->
+      """SELECT CAST(least(29, greatest(0, CAST(floor(length(text) / 100.0) AS INTEGER))) AS VARCHAR) AS bin,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 17 = 0),
+        | g AS (SELECT text, min(doc_id) AS keep_id, count(*) AS n FROM d
+        |       GROUP BY text HAVING count(*) > 1)
+        |SELECT g.keep_id, d.doc_id AS dup_id
+        |FROM d JOIN g USING (text) WHERE d.doc_id != g.keep_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 17 = 0),
+        | ds AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+        | tok AS (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(
+        |            string_split_regex(lower(text), '[^0-9a-z\p{L}\p{N}]+'),
+        |            x -> len(x) > 0))) AS t
+        |         FROM ds),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+        | pruned AS (SELECT * FROM (SELECT doc_id, t,
+        |              count(*) OVER (PARTITION BY t) AS df FROM tok)
+        |            WHERE df <= 500),
+        | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |           FROM pruned a JOIN pruned b ON a.t = b.t AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens,
+        | CAST(length(text) AS INTEGER) AS n_chars,
+        | CAST(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS INTEGER) AS n_punct
+        |FROM documents""".stripMargin
+    // hash-based ops (q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
+    // q_ann_lsh, q_lang_counts, q_quality_buckets, q_fingerprint_groups,
+    // q_ann_topk) are engine-hash-dependent -> rows-only checks
+  )
 }

@@ -1,0 +1,152 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.CompiledSchema
+import graft.validate.{Validator, ValidatorConfig}
+import graft.io.ParquetPartitionedSource
+import graft.transcript._
+import java.nio.file.{Files, Paths}
+
+/** CLI mirroring the reference's entry points (kyepy kye/cli.py):
+  *
+  * Kye-model validation (E2 — precompiled artifact path):
+  *   graft.cli.Main kye --schema s.kye.json --data t.parquet --model M
+  *     [--violations outDir] [--parity]
+  *
+  * Transcript suite (north rule):
+  *   graft.cli.Main transcripts --table dir --conv-keys path
+  *     [--checkpoint manifest.json] [--violations outDir]
+  *     [--baseline hist.json] [--write-baseline hist.json]
+  *
+  * Exit code 65 when violations were found (like the reference CLI,
+  * kye/cli.py:80-83).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val mode = args.head
+    val opts = parseOpts(args.tail)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val hadViolations =
+      mode match {
+        case "kye" => runKye(spark, opts)
+        case "transcripts" => runTranscripts(spark, opts)
+        case m => System.err.println(s"unknown mode $m"); usage(); sys.exit(2)
+      }
+    spark.stop()
+    if (hadViolations) sys.exit(65)
+  }
+
+  private def runKye(spark: SparkSession, opts: Map[String, String]): Boolean = {
+    val schemaPath = opts("schema")
+    val text = Files.readString(Paths.get(schemaPath))
+    val schema = CompiledSchema.load(text,
+      yaml = schemaPath.endsWith(".yaml") || schemaPath.endsWith(".yml"))
+    val model = opts("model")
+    val data = readAny(spark, opts("data"))
+    val withIds = Validator.withRowIds(data)
+    val result = new Validator(schema,
+      ValidatorConfig(strictReferenceParity = opts.contains("parity")))
+      .validate(model, withIds)
+    val violations = result.violations.cache()
+    opts.get("violations").foreach(out =>
+      violations.write.mode("overwrite").parquet(out))
+    val rows = violations.orderBy("err", "row", "col").collect()
+    rows.take(50).foreach { r =>
+      println(s"${r.getAs[String]("err")}: ${r.getAs[String]("model")}" +
+        s" row=${Option(r.get(2)).getOrElse("-")} col=${Option(r.get(3)).getOrElse("-")}" +
+        Option(r.getAs[String]("expected")).map(e => s" expected=$e").getOrElse(""))
+    }
+    if (rows.length > 50) println(s"... and ${rows.length - 50} more")
+    println(s"${rows.length} violations; survivors=" +
+      result.survivors.map(_.count().toString).getOrElse("<aborted>"))
+    rows.nonEmpty
+  }
+
+  private def runTranscripts(spark: SparkSession, opts: Map[String, String]): Boolean = {
+    val source = new ParquetPartitionedSource(spark, opts("table"))
+    val convKeys = opts.get("conv-keys").map(p => spark.read.parquet(p))
+    val validator = new TranscriptValidator()
+
+    val totalViolations: Long = opts.get("checkpoint") match {
+      case Some(manifestPath) =>
+        val manifest = new CheckpointManifest(manifestPath)
+        val sink = opts.get("violations").map { out => (p: Int, r: TranscriptReport) =>
+          r.violations.write.mode("overwrite").parquet(s"$out/partition_id=$p")
+        }
+        val summary = new ResumableRunner(source, manifest, validator, convKeys, sink).run()
+        println(s"validated=${summary.validated.map(_.partitionId).mkString(",")}" +
+          s" skipped=${summary.skipped.mkString(",")} rows=${summary.totalRows}" +
+          s" violations=${summary.totalViolations}")
+        summary.totalViolations +
+          summary.skipped.flatMap(manifest.load().get(_)).map(_.violations).sum
+      case None =>
+        val report = validator.validate(source.read(), convKeys)
+        opts.get("violations").foreach(out =>
+          report.violations.write.mode("overwrite").parquet(out))
+        report.partitionVerdicts.orderBy("partition_id").show(100, truncate = false)
+        val n = report.violations.count()
+        report.cleanup()
+        println(s"violations=$n")
+        n
+    }
+
+    // drift leg: compare against (or write) a baseline histogram snapshot
+    val data = source.read()
+    def hists(): Map[String, Drift.Histogram] = Map(
+      "role" -> Drift.collect(StatsProfiler.categoricalHistogram(data, col("role"))),
+      "text_len" -> Drift.collect(
+        StatsProfiler.numericHistogram(data, length(col("text")), 0, 20, 20)))
+    opts.get("write-baseline").foreach { p =>
+      Files.writeString(Paths.get(p), Drift.snapshotToJson(hists()))
+      println(s"wrote baseline snapshot $p")
+    }
+    val drifted = opts.get("baseline").exists { p =>
+      val base = Drift.snapshotFromJson(Files.readString(Paths.get(p)))
+      val cur = hists()
+      val verdicts = base.keys.toSeq.sorted.map(k => Drift.verdict(k, base(k), cur(k)))
+      verdicts.foreach(v => println(
+        f"drift ${v.name}: psi=${v.psi}%.4f ks=${v.ks}%.4f drifted=${v.drifted}"))
+      verdicts.exists(_.drifted)
+    }
+    totalViolations > 0 || drifted
+  }
+
+  private def readAny(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else if (path.endsWith(".json") || path.endsWith(".jsonl"))
+      spark.read.json(path)
+    else spark.read.parquet(path)
+
+  private def parseOpts(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val key = a.stripPrefix("--")
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m(key) = args(i + 1); i += 2
+        } else { m(key) = "true"; i += 1 }
+      } else i += 1
+    }
+    m.toMap
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage:
+      |  graft.cli.Main kye --schema s.kye.json --data table.parquet --model M [--violations out] [--parity]
+      |  graft.cli.Main transcripts --table dir [--conv-keys path] [--checkpoint m.json]
+      |                 [--violations out] [--baseline h.json] [--write-baseline h.json]""".stripMargin)
+}

@@ -1,0 +1,119 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic transcript generator (BASELINE.json
+  * `input_hint` shape): pure function of (seed, params) — every value
+  * derives from `xxhash64(conv_id, turn_idx, salt)`, no RNG state, so any
+  * partition can be regenerated independently at any parallelism.
+  *
+  * Conversation lengths are Zipf/Pareto-skewed (hot agent loops with 10^4+
+  * turns next to 2-turn chats) so the skew handling of the validation
+  * aggregations is actually exercised, per SURVEY §7.4.
+  *
+  * Error injection (each rate independently gated on its own hash salt):
+  * duplicate (conv_id, turn_idx); turn gaps; null/invalid role; null text;
+  * negative turn_idx; orphan conv_ids (absent from the conversation key
+  * table); ts regressions. Injected counts are themselves deterministic,
+  * so tests can compute the expected violation set independently.
+  */
+object TranscriptGen {
+
+  final case class GenConfig(
+      numConvs: Long,
+      seed: Long = 42L,
+      zipfAlpha: Double = 1.3,
+      minLen: Int = 2,
+      maxLen: Int = 4096,
+      numPartitions: Int = 8,
+      dupRate: Double = 0.0,
+      gapRate: Double = 0.0,
+      nullRoleRate: Double = 0.0,
+      badRoleRate: Double = 0.0,
+      negTurnRate: Double = 0.0,
+      nullTextRate: Double = 0.0,
+      tsRegressRate: Double = 0.0,
+      orphanConvRate: Double = 0.0,
+      /** shift role/text-length distributions (drift-test fixture) */
+      drifted: Boolean = false)
+
+  private val EPOCH0 = 1704067200L // 2024-01-01T00:00:00Z
+
+  /** uniform [0,1) from a salted hash of the given columns */
+  private def u(salt: String, cols: org.apache.spark.sql.Column*) =
+    pmod(xxhash64((cols :+ lit(salt)): _*), lit(1000000L)).cast("double") / 1000000.0
+
+  /** Conversation key table: (conv_id, conv_len, partition_id). */
+  def conversations(spark: SparkSession, cfg: GenConfig): DataFrame = {
+    val base = spark.range(0L, cfg.numConvs, 1L, cfg.numPartitions)
+      .withColumn("conv_id", concat(lit("conv-"), lpad(col("id").cast("string"), 8, "0")))
+    val uu = u(s"len-${cfg.seed}", col("id"))
+    // Pareto via inverse CDF: len = minLen * (1-u)^(-1/alpha), capped
+    val len = least(
+      lit(cfg.maxLen),
+      floor(lit(cfg.minLen) * pow(lit(1.0) - uu, lit(-1.0 / cfg.zipfAlpha)))).cast("int")
+    base.select(
+      col("conv_id"),
+      len.as("conv_len"),
+      pmod(xxhash64(col("conv_id")), lit(cfg.numPartitions)).cast("int").as("partition_id"))
+  }
+
+  /** The transcript table (conv_id, turn_idx, role, text, tool, ts
+    * [+ partition_id]) with deterministic error injection. */
+  def transcripts(spark: SparkSession, cfg: GenConfig): DataFrame = {
+    val convs = conversations(spark, cfg)
+    val seed = cfg.seed
+
+    val exploded = convs
+      .select(col("conv_id"), col("partition_id"),
+        explode(sequence(lit(0), col("conv_len") - 1)).as("turn0"))
+
+    def gate(rate: Double, salt: String) =
+      if (rate <= 0) lit(false)
+      else u(s"$salt-$seed", col("conv_id"), col("turn0")) < lit(rate)
+
+    // base roles: turn0=system, then user/assistant alternating with a tool
+    // interleave; drifted config shifts the tool share (role-frequency PSI)
+    val toolGate =
+      if (cfg.drifted) pmod(xxhash64(col("conv_id"), col("turn0"), lit("tool")), lit(4)) === 0
+      else pmod(xxhash64(col("conv_id"), col("turn0"), lit("tool")), lit(12)) === 0
+    val baseRole = when(col("turn0") === 0, lit("system"))
+      .when(toolGate, lit("tool"))
+      .when(pmod(col("turn0"), lit(2)) === 1, lit("user"))
+      .otherwise(lit("assistant"))
+
+    // deterministic text: repeated token, drifted config doubles lengths
+    val rep = (pmod(xxhash64(col("conv_id"), col("turn0"), lit("txt")), lit(20)) + 1) *
+      lit(if (cfg.drifted) 2 else 1)
+    val baseText = concat(
+      lit("t:"), col("conv_id"), lit(":"), col("turn0").cast("string"), lit(" "),
+      repeat(lit("lorem "), rep.cast("int")))
+
+    val baseTs = (lit(EPOCH0) + col("turn0").cast("long") * 60L +
+      pmod(xxhash64(col("conv_id"), col("turn0"), lit("jit")), lit(30L))).cast("timestamp")
+
+    val withErrors = exploded.select(
+      when(gate(cfg.orphanConvRate, "orphan-conv"), concat(lit("orphan-"), col("conv_id")))
+        .otherwise(col("conv_id")).as("conv_id"),
+      when(gate(cfg.negTurnRate, "neg"), lit(-1))
+        .when(gate(cfg.gapRate, "gap"), col("turn0") + 1)
+        .otherwise(col("turn0")).cast("int").as("turn_idx"),
+      when(gate(cfg.nullRoleRate, "null-role"), lit(null: String))
+        .when(gate(cfg.badRoleRate, "bad-role"), lit("robot"))
+        .otherwise(baseRole).as("role"),
+      when(gate(cfg.nullTextRate, "null-text"), lit(null: String))
+        .otherwise(baseText).as("text"),
+      when(baseRole === "tool", lit("search")).otherwise(lit(null: String)).as("tool"),
+      when(gate(cfg.tsRegressRate, "ts-reg"), (lit(EPOCH0) - 3600L).cast("timestamp"))
+        .otherwise(baseTs).as("ts"),
+      col("partition_id"),
+      col("turn0"))
+
+    val dups =
+      if (cfg.dupRate <= 0) None
+      else Some(withErrors.filter(gate(cfg.dupRate, "dup")))
+    val out = dups.map(withErrors.union).getOrElse(withErrors)
+    out.drop("turn0")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language id,
+  * quality scoring, token counting, fingerprinting. Pure Catalyst
+  * expressions (no UDFs) — every op is a map-only column that fuses into
+  * the scan's codegen stage.
+  */
+object TextAnalysis {
+
+  // ---- token counting --------------------------------------------------------
+
+  /** Whitespace token count. */
+  def whitespaceTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * punctuation marks each count as a token (a cheap proxy for byte-pair
+    * vocab tokenization used for budget estimates). */
+  def approxBpeTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]")), lit(0)) +
+      // long letter runs cost extra subword units (~1 per 6 chars beyond 6)
+      coalesce(aggregate(
+        filter(split(text, "[^\\p{L}]+"), t => length(t) > 6),
+        lit(0), (acc, t) => acc + ((length(t) - 1) / lit(6)).cast("int")), lit(0))
+
+  // ---- language id -------------------------------------------------------------
+
+  /** Tiny per-language stopword profiles (top function words). Public
+    * common knowledge lists. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are", "this", "you"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "ein", "mit", "von", "zu", "den", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "qui", "pas", "des", "du"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "en", "que", "una", "por", "con", "para", "del"),
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "una", "per", "non", "sono", "con", "del"))
+
+  /** Stopword-hit score for one language: fraction of tokens found in the
+    * language's stopword profile. */
+  def langScore(text: Column, lang: String): Column = {
+    val toks = Dedup.tokens(text)
+    val sw = lit(stopwords(lang).toArray)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic language id: argmax stopword score, "und" (undetermined)
+    * when every score is ~0. */
+  def langId(text: Column, langs: Seq[String] = stopwords.keys.toSeq.sorted): Column = {
+    val scored = langs.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0.05, best.getField("l")).otherwise(lit("und"))
+  }
+
+  // ---- quality scoring -----------------------------------------------------------
+
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      coalesce(regexp_count(text, lit("[^\\s\\p{L}\\p{N}]")), lit(0)).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) > 0,
+      coalesce(regexp_count(text, lit("\\p{Lu}")), lit(0)).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  def meanWordLength(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  def stopwordRatio(text: Column): Column = langScore(text, "en")
+
+  /** Composite [0,1] quality score: length in a sane band, moderate
+    * punctuation, non-trivial stopword share, word lengths in natural
+    * range. The standard C4/Gopher-style heuristic family. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val lenScore = when(len.isNull || len < 20, 0.0)
+      .when(len < 200, 0.5).when(len <= 20000, 1.0).otherwise(0.5)
+    val punctScore = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.3)
+    val swScore = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.4)
+    val mwl = meanWordLength(text)
+    val wordScore = when(mwl >= 2.5 && mwl <= 12.0, 1.0).otherwise(0.5)
+    (lenScore * 0.4 + punctScore * 0.2 + swScore * 0.2 + wordScore * 0.2).cast("double")
+  }
+
+  // ---- fingerprinting --------------------------------------------------------------
+
+  /** Content fingerprint of normalized text (case-folded, whitespace
+    * collapsed): stable under cosmetic edits. */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Winnowing-style fingerprint set: minimum rolling k-gram hash within
+    * each window of w consecutive k-grams (Schleimer et al. local
+    * fingerprinting) — matching any fingerprint ⇒ shared passage. */
+  def winnowedFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val grams = Dedup.shingles(text, k)
+    val hashes = transform(grams, g => xxhash64(g))
+    val nWin = size(hashes) - (w - 1)
+    when(nWin > 0,
+      array_distinct(transform(sequence(lit(0), nWin - 1), i =>
+        array_min(slice(hashes, i + 1, lit(w))))))
+      .otherwise(array_distinct(hashes))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.transcript
+
+import org.apache.spark.sql.DataFrame
+
+/** Distribution-drift checks (PSI / KS) between a baseline histogram
+  * snapshot and the current run's histograms — the drift leg of the north
+  * rule. Histograms are tiny (≤ a few hundred bins), so the math runs
+  * driver-side on collected maps; the heavy lifting (binned counting) is
+  * the distributed groupBy in [[StatsProfiler]].
+  */
+object Drift {
+
+  type Histogram = Map[String, Long]
+
+  /** Collect a (bin, n) DataFrame to a driver-side histogram. */
+  def collect(df: DataFrame): Histogram =
+    df.collect().map(r => Option(r.get(0)).map(_.toString).getOrElse("null") -> r.getLong(1)).toMap
+
+  /** Population Stability Index: sum over bins of (p-q)·ln(p/q), with the
+    * standard epsilon floor for empty bins. PSI < 0.1 stable, 0.1-0.25
+    * moderate, > 0.25 drifted. */
+  def psi(baseline: Histogram, current: Histogram, eps: Double = 1e-6): Double = {
+    val bins = (baseline.keySet ++ current.keySet).toSeq
+    val bTot = math.max(1L, baseline.values.sum).toDouble
+    val cTot = math.max(1L, current.values.sum).toDouble
+    bins.map { k =>
+      val p = math.max(eps, baseline.getOrElse(k, 0L) / bTot)
+      val q = math.max(eps, current.getOrElse(k, 0L) / cTot)
+      (q - p) * math.log(q / p)
+    }.sum
+  }
+
+  /** Kolmogorov–Smirnov statistic over binned counts: max |CDF_b - CDF_c|.
+    * Bins are ordered numerically when possible, else lexically. */
+  def ks(baseline: Histogram, current: Histogram): Double = {
+    val bins = (baseline.keySet ++ current.keySet).toSeq
+      .sortBy(k => scala.util.Try(k.toDouble).getOrElse(Double.MaxValue))
+    val bTot = math.max(1L, baseline.values.sum).toDouble
+    val cTot = math.max(1L, current.values.sum).toDouble
+    var cb = 0.0; var cc = 0.0; var d = 0.0
+    for (k <- bins) {
+      cb += baseline.getOrElse(k, 0L) / bTot
+      cc += current.getOrElse(k, 0L) / cTot
+      d = math.max(d, math.abs(cb - cc))
+    }
+    d
+  }
+
+  final case class DriftVerdict(name: String, psi: Double, ks: Double, drifted: Boolean)
+
+  def verdict(name: String, baseline: Histogram, current: Histogram,
+              psiThreshold: Double = 0.25): DriftVerdict = {
+    val p = psi(baseline, current)
+    DriftVerdict(name, p, ks(baseline, current), p > psiThreshold)
+  }
+
+  // ---- baseline snapshot codec (JSON) ---------------------------------------
+
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import scala.jdk.CollectionConverters._
+
+  /** Serialize named histograms to the checked-in baseline snapshot format. */
+  def snapshotToJson(snapshots: Map[String, Histogram]): String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    for ((name, h) <- snapshots.toSeq.sortBy(_._1)) {
+      val node = root.putObject(name)
+      for ((k, v) <- h.toSeq.sortBy(_._1)) node.put(k, v)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def snapshotFromJson(json: String): Map[String, Histogram] = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(json)
+    root.properties().asScala.map { e =>
+      e.getKey -> e.getValue.properties().asScala
+        .map(b => b.getKey -> b.getValue.asLong()).toMap
+    }.toMap
+  }
+}

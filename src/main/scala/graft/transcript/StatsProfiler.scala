@@ -1,0 +1,109 @@
+package graft.transcript
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-column statistics + drift-input histograms over the transcript
+  * table. One aggregate job produces every column's profile (count,
+  * null-rate, min/max, HLL approx-distinct); numeric moment profiles use a
+  * typed [[Aggregator]]; histograms are groupBy over deterministic bins.
+  */
+object StatsProfiler {
+
+  // ---- typed Aggregator: streaming numeric moments -------------------------
+
+  /** Mergeable moments buffer (Chan et al. parallel variance — associative
+    * merge, safe for partial aggregation across executors). */
+  final case class MomentsBuf(n: Long, mean: Double, m2: Double, min: Double, max: Double)
+  final case class Moments(n: Long, mean: Double, variance: Double, min: Double, max: Double)
+
+  class NumericMomentsAgg extends Aggregator[java.lang.Double, MomentsBuf, Moments] {
+    def zero: MomentsBuf = MomentsBuf(0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
+    def reduce(b: MomentsBuf, x: java.lang.Double): MomentsBuf =
+      if (x == null) b
+      else {
+        val v = x.doubleValue()
+        val n = b.n + 1
+        val d = v - b.mean
+        val mean = b.mean + d / n
+        MomentsBuf(n, mean, b.m2 + d * (v - mean), math.min(b.min, v), math.max(b.max, v))
+      }
+    def merge(a: MomentsBuf, b: MomentsBuf): MomentsBuf =
+      if (a.n == 0) b else if (b.n == 0) a
+      else {
+        val n = a.n + b.n
+        val d = b.mean - a.mean
+        MomentsBuf(n,
+          a.mean + d * b.n / n,
+          a.m2 + b.m2 + d * d * a.n * b.n / n,
+          math.min(a.min, b.min), math.max(a.max, b.max))
+      }
+    def finish(b: MomentsBuf): Moments =
+      if (b.n == 0) Moments(0, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      else Moments(b.n, b.mean, if (b.n > 1) b.m2 / (b.n - 1) else 0.0, b.min, b.max)
+    def bufferEncoder: Encoder[MomentsBuf] = Encoders.product[MomentsBuf]
+    def outputEncoder: Encoder[Moments] = Encoders.product[Moments]
+  }
+
+  /** Column expression form of the typed aggregator, usable inside
+    * `df.agg(...)` alongside built-ins. */
+  def numericMoments(c: Column): Column = udaf(new NumericMomentsAgg).apply(c)
+
+  // ---- one-pass column profile ---------------------------------------------
+
+  /** (column, count, nulls, null_rate, approx_distinct, min, max) — one row
+    * per profiled column, computed in a single aggregate job. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_cnt_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        approx_count_distinct(col(c)).as(s"_dist_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val total = count(lit(1)).as("_total")
+    val row = df.agg(total, aggs: _*)
+    // flatten the single wide row to one row per column via stack-like union
+    val perCol = cols.map { c =>
+      row.select(
+        lit(c).as("column"),
+        col(s"_cnt_$c").as("count"),
+        col(s"_null_$c").as("nulls"),
+        (col(s"_null_$c").cast("double") / col("_total")).as("null_rate"),
+        col(s"_dist_$c").as("approx_distinct"),
+        col(s"_min_$c").as("min"),
+        col(s"_max_$c").as("max"))
+    }
+    perCol.reduce(_ union _)
+  }
+
+  // ---- histograms (drift inputs) -------------------------------------------
+
+  /** Fixed-width bin id for a numeric expression: 0..nBins-1, under/overflow
+    * clamped. Same arithmetic is expressible in any SQL engine. */
+  def bin(c: Column, lo: Double, width: Double, nBins: Int): Column =
+    least(lit(nBins - 1), greatest(lit(0), floor((c - lit(lo)) / lit(width)).cast("int")))
+
+  /** Categorical histogram, e.g. role frequencies. */
+  def categoricalHistogram(df: DataFrame, c: Column): DataFrame =
+    df.groupBy(c.cast("string").as("bin")).agg(count(lit(1)).as("n"))
+
+  /** Numeric histogram over fixed-width bins, e.g. length(text). */
+  def numericHistogram(df: DataFrame, c: Column, lo: Double, width: Double, nBins: Int): DataFrame =
+    df.groupBy(bin(c, lo, width, nBins).cast("string").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Salted two-phase per-conversation row count: phase 1 pre-aggregates on
+    * (conv_id, salt) so a hot conversation's rows spread over `buckets`
+    * reducers, phase 2 merges by conv_id. Use when a groupBy(conv_id) over
+    * the RAW table is needed and conversation sizes are Zipf-skewed
+    * (SURVEY §4 skew strategy). */
+  def saltedConvCounts(df: DataFrame, buckets: Int): DataFrame =
+    df.groupBy(col("conv_id"),
+        pmod(xxhash64(col("turn_idx"), col("ts")), lit(buckets)).as("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col("conv_id"))
+      .agg(sum(col("_partial")).as("n_rows"))
+}

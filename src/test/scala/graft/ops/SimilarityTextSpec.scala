@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SimilarityTextSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine/dot/norm expressions match exact math") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.norm(col("a")),
+      Similarity.cosine(col("a"), col("b"))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 4.0) < 1e-6)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-6)
+  }
+
+  test("brute-force top-k returns exact nearest neighbors on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5)
+    val byQuery = topk.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 5)
+      // self is its own nearest neighbor at rank 1
+      val r1 = rows.minBy(_.getAs[Int]("rank"))
+      assert(r1.getAs[Long]("item_id") == r1.getAs[Long]("query_id"))
+      assert(math.abs(r1.getAs[Double]("score") - 1.0) < 1e-5)
+    }
+  }
+
+  test("LSH top-k recall against brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet
+    // testdata embeddings are unstructured noise (mean top-1 cosine ~0.37),
+    // the hardest case for LSH — recall needs many short-signature tables;
+    // real corpora with cluster structure use longer signatures.
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3, planes = 4, tables = 8, probeBits = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+    // self-match must always survive bucketing (identical signature)
+    assert((0L until 10L).forall(q => approx.contains((q, q))))
+    emb.unpersist()
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(("Hello, world! This is tokenization."),
+      (""), ("supercalifragilisticexpialidocious")).toDF("text")
+    val r = df.select(
+      TextAnalysis.whitespaceTokenCount(col("text")),
+      TextAnalysis.approxBpeTokenCount(col("text"))).collect()
+    assert(r(0).getInt(0) == 5)
+    assert(r(0).getInt(1) >= 8) // words + punctuation
+    assert(r(1).getInt(0) == 0 && r(1).getInt(1) == 0)
+    assert(r(2).getInt(1) > 2)  // long word costs multiple subword units
+  }
+
+  test("language id: stopword heuristic picks the right language") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy with the dog"),
+      ("de", "der hund und die katze sind nicht in der wohnung mit dem kind"),
+      ("fr", "le chien et le chat sont dans la maison avec une souris pour le dîner"),
+      ("es", "el perro y el gato están en la casa con una comida para el niño"),
+      ("und", "zzz qqq xxx yyy www")
+    ).toDF("expected", "text")
+    val got = df.select(col("expected"), TextAnalysis.langId(col("text")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (exp, g) => assert(g == exp, s"expected $exp got $g") }
+  }
+
+  test("language id runs over the documents table and emits valid labels") {
+    // NB the testdata documents' `lang` column is random metadata over
+    // English-ish synthetic word soup, so agreement with it is not a
+    // meaningful oracle; the handcrafted-language test above pins accuracy.
+    val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val labels = documents.select(TextAnalysis.langId(col("text")).as("l"))
+      .groupBy("l").count().collect().map(_.getString(0)).toSet
+    val valid = TextAnalysis.stopwords.keySet + "und"
+    assert(labels.subsetOf(valid), s"unexpected labels $labels")
+  }
+
+  test("quality score separates real prose from junk") {
+    val df = Seq(
+      ("good", "The quick brown fox jumps over the lazy dog. It was a sunny day and the animals were playing in the field near the river bank. Later that afternoon the farmer walked past the old barn and waved at the children who were flying kites in the warm summer wind."),
+      ("short", "hi"),
+      ("punct", "!!! ??? *** ### @@@ $$$ %%% ^^^ &&& ((( ))) !!! ??? *** ### @@@ ")
+    ).toDF("kind", "text")
+    val s = df.select(col("kind"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("good") > 0.8)
+    assert(s("short") < 0.5)
+    assert(s("punct") < s("good"))
+  }
+
+  test("fingerprints: cosmetic edits keep content fingerprint; winnowing shares passages") {
+    val df = Seq(
+      (1L, "The Quick   brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, "some long shared passage appears here in the middle of this document padded with words"),
+      (4L, "totally different prefix but some long shared passage appears here in the middle too")
+    ).toDF("id", "text")
+    val fp = df.select(col("id"), TextAnalysis.contentFingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    val wf = df.select(col("id"),
+      TextAnalysis.winnowedFingerprints(col("text"), k = 4, w = 3).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((wf(3L) intersect wf(4L)).nonEmpty, "shared passage must share fingerprints")
+    assert((wf(1L) intersect wf(3L)).isEmpty)
+  }
+
+  test("multimodal: meta extraction and frame sampling over binary columns") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("mime", StringType),
+      StructField("media", BinaryType)))
+    val rows = Seq(
+      Row(1L, "video/grft", Multimodal.synthesize(1L, 640, 480, 10)),
+      Row(2L, "image/grft", Multimodal.synthesize(2L, 256, 256, 1)),
+      Row(3L, "video/grft", null),
+      Row(4L, "video/grft", Array[Byte](1, 2, 3))) // corrupt
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val meta = Multimodal.extractMeta(df).collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).width == 640 && meta(1L).height == 480 && meta(1L).valid)
+    assert(meta(2L).width == 256 && meta(2L).valid)
+    assert(!meta(3L).valid && !meta(4L).valid)
+    val frames = Multimodal.sampleFrames(df, stride = 3, maxFrames = 3).collect()
+    assert(frames.count(_.media_id == 1L) == 3) // frames 0,3,6
+    assert(frames.count(_.media_id == 2L) == 1)
+    assert(frames.count(_.media_id == 3L) == 0)
+  }
+}

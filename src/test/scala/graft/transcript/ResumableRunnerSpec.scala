@@ -1,0 +1,77 @@
+package graft.transcript
+
+import graft.SparkSuite
+import graft.gen.TranscriptGen
+import graft.io.ParquetPartitionedSource
+import java.nio.file.Files
+
+class ResumableRunnerSpec extends SparkSuite {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("kill-and-rerun skips validated partitions; lineage change re-validates") {
+    val root = tmpDir("transcripts")
+    val manifestPath = s"${tmpDir("manifest")}/manifest.json"
+    val cfg = TranscriptGen.GenConfig(
+      numConvs = 200, seed = 3, numPartitions = 4, dupRate = 0.01, gapRate = 0.01)
+    val data = TranscriptGen.transcripts(spark, cfg)
+    ParquetPartitionedSource.write(data, root)
+
+    val source = new ParquetPartitionedSource(spark, root)
+    assert(source.partitionIds() == Seq(0, 1, 2, 3))
+    val keys = TranscriptGen.conversations(spark, cfg).select("conv_id")
+    val manifest = new CheckpointManifest(manifestPath)
+    val validator = new TranscriptValidator()
+
+    // first run: everything validated
+    val run1 = new ResumableRunner(source, manifest, validator, Some(keys)).run()
+    assert(run1.validated.map(_.partitionId).sorted == Seq(0, 1, 2, 3))
+    assert(run1.skipped.isEmpty)
+    assert(run1.totalRows == data.count())
+    assert(run1.totalViolations > 0)
+
+    // simulated restart: same snapshot + constraints → all partitions skipped
+    val run2 = new ResumableRunner(source, manifest, validator, Some(keys)).run()
+    assert(run2.validated.isEmpty)
+    assert(run2.skipped.sorted == Seq(0, 1, 2, 3))
+
+    // partial manifest (crash after 2 partitions): only the missing two run
+    val manifest2 = new CheckpointManifest(s"${tmpDir("m2")}/manifest.json")
+    run1.validated.take(2).foreach(manifest2.record)
+    val run3 = new ResumableRunner(source, manifest2, validator, Some(keys)).run()
+    assert(run3.validated.map(_.partitionId).sorted ==
+      (Seq(0, 1, 2, 3) diff run1.validated.take(2).map(_.partitionId)).sorted)
+
+    // data change in one partition → snapshot id changes → all re-validate
+    val snapBefore = source.snapshotId
+    val extra = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 10, seed = 99, numPartitions = 4))
+    extra.filter(org.apache.spark.sql.functions.col("partition_id") === 1)
+      .write.mode("append").partitionBy("partition_id").parquet(root)
+    assert(source.snapshotId != snapBefore)
+    val run4 = new ResumableRunner(source, manifest, validator, Some(keys)).run()
+    assert(run4.validated.map(_.partitionId).sorted == Seq(0, 1, 2, 3))
+  }
+
+  test("constraint-set hash invalidates completions") {
+    assert(CheckpointManifest.constraintHash(Seq("a", "b")) ==
+      CheckpointManifest.constraintHash(Seq("b", "a")))
+    assert(CheckpointManifest.constraintHash(Seq("a")) !=
+      CheckpointManifest.constraintHash(Seq("a", "b")))
+  }
+
+  test("partition read prunes to one directory") {
+    val root = tmpDir("prune")
+    val data = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 50, seed = 4, numPartitions = 4))
+    ParquetPartitionedSource.write(data, root)
+    val source = new ParquetPartitionedSource(spark, root)
+    val p0 = source.readPartition(0)
+    // scan must point at the single partition directory, not the table root
+    val scanned = p0.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scanned.contains("partition_id=0"))
+    assert(p0.count() > 0)
+    assert(source.read().count() == data.count())
+  }
+}

@@ -1,0 +1,89 @@
+package graft.transcript
+
+import graft.SparkSuite
+import graft.gen.TranscriptGen
+import org.apache.spark.sql.functions._
+
+class StatsDriftSpec extends SparkSuite {
+
+  test("typed moments aggregator matches exact values and merges across partitions") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(_.toDouble)
+    val df = spark.sparkContext.parallelize(vals, 7).toDF("x")
+    val m = df.agg(StatsProfiler.numericMoments(col("x")).as("m"))
+      .select("m.*").collect()(0)
+    assert(m.getAs[Long]("n") == 1000L)
+    assert(math.abs(m.getAs[Double]("mean") - 500.5) < 1e-9)
+    // sample variance of 1..1000 = n(n+1)/12 = 83416.666...
+    assert(math.abs(m.getAs[Double]("variance") - 83416.66666666667) < 1e-6)
+    assert(m.getAs[Double]("min") == 1.0 && m.getAs[Double]("max") == 1000.0)
+  }
+
+  test("one-pass column profile: counts, null rates, min/max, approx distinct") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some("a")), (Some(2.0), None), (None, Some("b")), (Some(2.0), Some("b"))
+    ).toDF("x", "s")
+    val p = StatsProfiler.profile(df, Seq("x", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("x").getAs[Long]("count") == 3)
+    assert(p("x").getAs[Long]("nulls") == 1)
+    assert(math.abs(p("x").getAs[Double]("null_rate") - 0.25) < 1e-9)
+    assert(p("x").getAs[String]("min") == "1.0" && p("x").getAs[String]("max") == "2.0")
+    assert(p("s").getAs[Long]("approx_distinct") == 2)
+  }
+
+  test("PSI/KS: identical distributions ~0, drifted generator above threshold") {
+    val base = TranscriptGen.transcripts(spark, TranscriptGen.GenConfig(numConvs = 400, seed = 1))
+    val same = TranscriptGen.transcripts(spark, TranscriptGen.GenConfig(numConvs = 400, seed = 2))
+    val drift = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 400, seed = 3, drifted = true))
+
+    def roleHist(df: org.apache.spark.sql.DataFrame) =
+      Drift.collect(StatsProfiler.categoricalHistogram(df, col("role")))
+    def lenHist(df: org.apache.spark.sql.DataFrame) =
+      Drift.collect(StatsProfiler.numericHistogram(df, length(col("text")), 0, 20, 20))
+
+    val psiSameRole = Drift.psi(roleHist(base), roleHist(same))
+    val psiDriftRole = Drift.psi(roleHist(base), roleHist(drift))
+    assert(psiSameRole < 0.05, s"same-dist role PSI $psiSameRole")
+    assert(psiDriftRole > 0.1, s"drifted role PSI $psiDriftRole")
+
+    val psiDriftLen = Drift.psi(lenHist(base), lenHist(drift))
+    assert(psiDriftLen > 0.25, s"drifted text-length PSI $psiDriftLen")
+    assert(Drift.ks(lenHist(base), lenHist(drift)) > Drift.ks(lenHist(base), lenHist(same)))
+  }
+
+  test("baseline snapshot JSON roundtrip") {
+    val snap = Map(
+      "role" -> Map("user" -> 10L, "assistant" -> 12L),
+      "text_len" -> Map("0" -> 5L, "1" -> 7L))
+    val json = Drift.snapshotToJson(snap)
+    assert(Drift.snapshotFromJson(json) == snap)
+  }
+
+  test("salted two-phase conv counts equal direct groupBy") {
+    val data = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 200, seed = 5))
+    val direct = data.groupBy("conv_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = StatsProfiler.saltedConvCounts(data, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("generator is deterministic and Zipf-skewed") {
+    val cfg = TranscriptGen.GenConfig(numConvs = 500, seed = 11)
+    val a = TranscriptGen.transcripts(spark, cfg)
+    val b = TranscriptGen.transcripts(spark, cfg)
+    def h(df: org.apache.spark.sql.DataFrame) = df.agg(
+      sum(pmod(xxhash64(col("conv_id"), col("turn_idx"), col("role"), col("text")),
+        lit(1000000007L)))).collect()(0).getLong(0)
+    val ha = h(a); val hb = h(b)
+    assert(ha == hb)
+    val lens = TranscriptGen.conversations(spark, cfg)
+      .agg(min("conv_len"), max("conv_len"), expr("percentile(conv_len, 0.5)")).collect()(0)
+    assert(lens.getInt(1) > 20 * lens.getInt(0), "expected heavy tail")
+    assert(lens.getDouble(2) < 10, "median should stay small under Zipf")
+  }
+}

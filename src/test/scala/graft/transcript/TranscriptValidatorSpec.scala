@@ -1,0 +1,151 @@
+package graft.transcript
+
+import graft.SparkSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+class TranscriptValidatorSpec extends SparkSuite {
+  import Constraints._
+
+  private val schema = StructType(Seq(
+    StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+    StructField("role", StringType), StructField("text", StringType),
+    StructField("tool", StringType), StructField("ts", TimestampType)))
+
+  private def ts(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000)
+
+  private def fixture: DataFrame = {
+    val rows = Seq(
+      // c1: clean
+      Row("c1", 0, "system", "hi", null, ts(0)),
+      Row("c1", 1, "user", "q", null, ts(60)),
+      Row("c1", 2, "assistant", "a", null, ts(120)),
+      // c2: duplicate (c2,1)
+      Row("c2", 0, "system", "s", null, ts(0)),
+      Row("c2", 1, "user", "q1", null, ts(60)),
+      Row("c2", 1, "user", "q1-dup", null, ts(61)),
+      Row("c2", 2, "assistant", "a", null, ts(120)),
+      // c3: gap (0 then 2)
+      Row("c3", 0, "system", "s", null, ts(0)),
+      Row("c3", 2, "user", "q", null, ts(120)),
+      // c4: first turn not 0
+      Row("c4", 1, "user", "q", null, ts(0)),
+      Row("c4", 2, "assistant", "a", null, ts(60)),
+      // c5: null role + bad role
+      Row("c5", 0, null, "s", null, ts(0)),
+      Row("c5", 1, "robot", "q", null, ts(60)),
+      // c6: negative turn idx
+      Row("c6", -1, "system", "s", null, ts(0)),
+      Row("c6", 0, "user", "q", null, ts(60)),
+      Row("c6", 1, "assistant", "a", null, ts(120)),
+      // c7: ts regression at turn 1
+      Row("c7", 0, "system", "s", null, ts(100)),
+      Row("c7", 1, "user", "q", null, ts(40)),
+      // c8: null text, null ts
+      Row("c8", 0, null, null, null, ts(0)),
+      Row("c8", 1, "user", "q", null, null),
+      // c9: tool column set on a non-tool turn; plus a valid tool turn
+      Row("c9", 0, "user", "q", "search", ts(0)),
+      Row("c9", 1, "tool", "result", "search", ts(60)),
+      // null keys
+      Row(null, 0, "user", "x", null, ts(0)),
+      Row("c10", null, "user", "x", null, ts(0)),
+      Row("c10", 0, "user", "x", null, ts(0)),
+      // ghost: not in the conversation key table
+      Row("ghost", 0, "user", "x", null, ts(0)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  private lazy val convKeys = {
+    import spark.implicits._
+    (1 to 10).map(i => s"c$i").toDF("conv_id")
+  }
+
+  private lazy val report = new TranscriptValidator().validate(fixture, Some(convKeys))
+  private lazy val violations =
+    report.violations.collect().map(r => (r.getString(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+
+  private def byConstraint(id: String) = violations.filter(_._1 == id)
+
+  test("row-level constraints, one scan") {
+    assert(byConstraint(NullConvId).map(_._2) == Seq(null))
+    assert(byConstraint(NullTurnIdx) == Seq((NullTurnIdx, "c10", None)))
+    assert(byConstraint(NegTurnIdx) == Seq((NegTurnIdx, "c6", Some(-1))))
+    // c5 turn0 and c8 turn0 have null roles
+    assert(byConstraint(NullRole).map(v => (v._2, v._3)).toSet ==
+      Set(("c5", Some(0)), ("c8", Some(0))))
+    assert(byConstraint(RoleEnum) == Seq((RoleEnum, "c5", Some(1))))
+    assert(byConstraint(NullText) == Seq((NullText, "c8", Some(0))))
+    assert(byConstraint(NullTs) == Seq((NullTs, "c8", Some(1))))
+    assert(byConstraint(ToolRole) == Seq((ToolRole, "c9", Some(0))))
+  }
+
+  test("duplicate key detection") {
+    assert(byConstraint(DupKey) == Seq((DupKey, "c2", Some(1))))
+  }
+
+  test("sequence gaps: missing turn and non-zero start") {
+    assert(byConstraint(SeqGap).map(v => (v._2, v._3)).toSet ==
+      Set(("c3", Some(2)), ("c4", Some(1))))
+  }
+
+  test("ts monotonicity within conversation") {
+    assert(byConstraint(TsMonotone) == Seq((TsMonotone, "c7", Some(1))))
+  }
+
+  test("referential: orphan conv_id") {
+    assert(byConstraint(OrphanConv).map(_._2) == Seq("ghost"))
+  }
+
+  test("conversation verdicts") {
+    val verdicts = report.convVerdicts.collect()
+      .map(r => r.getAs[String]("conv_id") -> r.getAs[Boolean]("pass")).toMap
+    assert(verdicts("c1"))
+    assert(!verdicts("c2")) // dup
+    assert(!verdicts("c3")) // gap
+    assert(!verdicts("c4")) // non-zero start
+    assert(!verdicts("c7")) // ts regression
+    assert(verdicts("c9"))
+  }
+
+  test("partition verdicts aggregate rows and violations") {
+    val parts = report.partitionVerdicts.collect()
+    assert(parts.map(_.getAs[Long]("rows_scanned")).sum == 26L)
+    val totalV = parts.map(_.getAs[Long]("violations")).sum
+    assert(totalV == violations.size.toLong)
+    assert(parts.exists(!_.getAs[Boolean]("pass")))
+  }
+
+  test("generator-scale consistency: injected errors are all detected") {
+    import graft.gen.TranscriptGen
+    import org.apache.spark.sql.functions._
+    val cfg = TranscriptGen.GenConfig(
+      numConvs = 300, seed = 7, dupRate = 0.01, gapRate = 0.01,
+      nullRoleRate = 0.005, badRoleRate = 0.005, negTurnRate = 0.002,
+      nullTextRate = 0.005, tsRegressRate = 0.005, orphanConvRate = 0.002)
+    val data = TranscriptGen.transcripts(spark, cfg).cache()
+    val keys = TranscriptGen.conversations(spark, cfg).select("conv_id")
+    val rep = new TranscriptValidator().validate(data, Some(keys))
+    val vByC = rep.violations.groupBy("constraint_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // independently computed ground truths
+    val expectedDups = data.groupBy("conv_id", "turn_idx").count()
+      .filter(col("count") > 1 && col("turn_idx").isNotNull && col("conv_id").isNotNull).count()
+    assert(vByC.getOrElse(DupKey, 0L) == expectedDups)
+    val expectedNeg = data.filter(col("turn_idx") < 0).count()
+    assert(vByC.getOrElse(NegTurnIdx, 0L) == expectedNeg)
+    val expectedNullRole = data.filter(col("role").isNull).count()
+    assert(vByC.getOrElse(NullRole, 0L) == expectedNullRole)
+    val expectedBadRole = data.filter(col("role") === "robot").count()
+    assert(vByC.getOrElse(RoleEnum, 0L) == expectedBadRole)
+    val expectedOrphans = data.select("conv_id").distinct()
+      .join(keys, Seq("conv_id"), "left_anti").count()
+    assert(vByC.getOrElse(OrphanConv, 0L) == expectedOrphans)
+    assert(vByC.getOrElse(SeqGap, 0L) > 0)
+    assert(vByC.getOrElse(TsMonotone, 0L) > 0)
+    data.unpersist()
+  }
+}
