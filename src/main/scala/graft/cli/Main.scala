@@ -50,8 +50,13 @@ object Main {
   private def runKye(spark: SparkSession, opts: Map[String, String]): Boolean = {
     val schemaPath = opts("schema")
     val text = Files.readString(Paths.get(schemaPath))
-    val schema = CompiledSchema.load(text,
-      yaml = schemaPath.endsWith(".yaml") || schemaPath.endsWith(".yml"))
+    // E1 path: `.kye` source compiles through the DSL front-end; E2 path:
+    // precompiled JSON/YAML artifacts load directly (kyepy kye.py:60-63)
+    val schema =
+      if (schemaPath.endsWith(".kye"))
+        CompiledSchema.nativeTypes.merge(graft.parse.KyeParser.compile(text))
+      else CompiledSchema.load(text,
+        yaml = schemaPath.endsWith(".yaml") || schemaPath.endsWith(".yml"))
     val model = opts("model")
     val data = readAny(spark, opts("data"))
     val withIds = Validator.withRowIds(data)

@@ -1,0 +1,454 @@
+package graft.parse
+
+import graft.schema._
+
+/** `.kye` DSL front-end: text → [[CompiledSchema]].
+  *
+  * Re-implements the reference compile chain (kyepy: lark grammar
+  * `kye/parse/grammar.lark`, AST transformer `kye/parse/parser.py`,
+  * `kye/parse/desugar.py`, `kye/type/type_builder.py`,
+  * `kye/type/compiler.py`) as a hand-rolled lexer + recursive-descent
+  * parser producing the same compiled-artifact structures. Scope matches
+  * what the reference actually executes: model defs with indexes, typed /
+  * const / enum / regex edges with cardinality and titles, type aliases,
+  * `assert` statements, and the expression operators wired in
+  * `TOKEN_TO_OP` (`type_builder.py:10-24`). Constructs the reference
+  * parses but raises `NotImplementedError` on (`.edge` access, calls other
+  * than `matches`, edge blocks, `if`/`operation`) are rejected here with
+  * the same intent (SURVEY §2.4-W5).
+  */
+object KyeParser {
+
+  final case class ParseError(message: String, line: Int)
+    extends RuntimeException(s"line $line: $message")
+
+  def compile(source: String): CompiledSchema = {
+    val stmts = new Parser(Lexer.tokenize(source)).parseStatements()
+    Builder.build(Desugar.run(stmts))
+  }
+
+  // ---- tokens ---------------------------------------------------------------
+
+  sealed trait Tok { def line: Int }
+  final case class TType(name: String, line: Int) extends Tok
+  final case class TEdge(name: String, line: Int) extends Tok
+  final case class TNum(value: Double, line: Int) extends Tok
+  final case class TStr(value: String, line: Int) extends Tok
+  final case class TBool(value: Boolean, line: Int) extends Tok
+  final case class TRegex(pattern: String, line: Int) extends Tok
+  final case class TPunct(text: String, line: Int) extends Tok
+  final case class TEof(line: Int) extends Tok
+
+  object Lexer {
+    def tokenize(src: String): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      var line = 1
+      var prev: Tok = TEof(0) // previous significant token (sign disambiguation)
+      def push(t: Tok): Unit = { out += t; prev = t }
+      def isValueEnd(t: Tok): Boolean = t match {
+        case _: TNum | _: TStr | _: TBool | _: TRegex | _: TEdge | _: TType => true
+        case TPunct(")" | "]" | "}", _) => true
+        case _ => false
+      }
+      while (i < src.length) {
+        val c = src(i)
+        if (c == '\n') { line += 1; i += 1 }
+        else if (c.isWhitespace || c == ',') i += 1 // commas are soft delimiters
+        else if (c == '#') { while (i < src.length && src(i) != '\n') i += 1 }
+        else if (c == '"') {
+          val sb = new StringBuilder; i += 1
+          while (i < src.length && src(i) != '"') {
+            if (src(i) == '\\' && i + 1 < src.length) {
+              sb.append(src(i + 1) match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case o => o
+              }); i += 2
+            } else { sb.append(src(i)); i += 1 }
+          }
+          if (i >= src.length) throw ParseError("unterminated string", line)
+          i += 1; push(TStr(sb.toString, line))
+        }
+        else if (c == '/' && !isValueEnd(prev)) { // regex (never after a value)
+          val sb = new StringBuilder; i += 1
+          while (i < src.length && src(i) != '/') { sb.append(src(i)); i += 1 }
+          if (i >= src.length) throw ParseError("unterminated regex", line)
+          i += 1; push(TRegex(sb.toString, line))
+        }
+        else if (c.isDigit ||
+            ((c == '-' || c == '+') && i + 1 < src.length && src(i + 1).isDigit &&
+              !isValueEnd(prev))) {
+          val start = i
+          if (c == '-' || c == '+') i += 1
+          while (i < src.length && (src(i).isDigit || src(i) == '.')) i += 1
+          if (i < src.length && (src(i) == 'e' || src(i) == 'E')) {
+            i += 1
+            if (i < src.length && (src(i) == '+' || src(i) == '-')) i += 1
+            while (i < src.length && src(i).isDigit) i += 1
+          }
+          // NUMBER literals always become floats (kyepy parser.py:123-124)
+          push(TNum(src.substring(start, i).toDouble, line))
+        }
+        else if (c.isUpper) {
+          val start = i
+          while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+          val w = src.substring(start, i)
+          if (w == "TRUE") push(TBool(true, line))
+          else if (w == "FALSE") push(TBool(false, line))
+          else push(TType(w, line))
+        }
+        else if (c.isLower || c == '_') {
+          val start = i
+          while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+          push(TEdge(src.substring(start, i), line))
+        }
+        else {
+          val two = if (i + 1 < src.length) src.substring(i, i + 2) else ""
+          if (Set("!=", "==", ">=", "<=").contains(two)) { push(TPunct(two, line)); i += 2 }
+          else if ("(){}[]:|&^!~<>+-*/?%.".contains(c)) { push(TPunct(c.toString, line)); i += 1 }
+          else throw ParseError(s"unexpected character '$c'", line)
+        }
+      }
+      out += TEof(line)
+      out.result()
+    }
+  }
+
+  // ---- AST ------------------------------------------------------------------
+
+  sealed trait Expr
+  final case class ELit(value: Any) extends Expr                       // Double | String | Boolean
+  final case class ERegex(pattern: String) extends Expr
+  final case class ETypeId(name: String) extends Expr
+  final case class EEdgeId(name: String) extends Expr
+  final case class EBinary(op: String, left: Expr, right: Expr) extends Expr
+  final case class EUnary(op: String, right: Expr) extends Expr
+  final case class ECall(callee: String, args: List[Expr]) extends Expr
+
+  sealed trait Stmt
+  final case class SModel(name: String, indexes: List[List[String]],
+                          body: List[Stmt], line: Int) extends Stmt
+  final case class SType(name: String, expr: Expr, line: Int) extends Stmt
+  final case class SEdge(name: String, title: Option[String], cardinality: Option[Char],
+                         expr: Expr, line: Int) extends Stmt
+  final case class SAssert(expr: Expr, line: Int) extends Stmt
+
+  // ---- parser ----------------------------------------------------------------
+
+  final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Tok = toks(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def err(msg: String): Nothing = throw ParseError(msg, peek.line)
+    private def expect(p: String): Unit = peek match {
+      case TPunct(`p`, _) => pos += 1
+      case other => err(s"expected '$p', found $other")
+    }
+    private def at(p: String): Boolean = peek match {
+      case TPunct(`p`, _) => true; case _ => false
+    }
+
+    def parseStatements(): List[Stmt] = {
+      val out = List.newBuilder[Stmt]
+      while (!peek.isInstanceOf[TEof]) out += parseStatement()
+      out.result()
+    }
+
+    private def parseBlock(): List[Stmt] = {
+      expect("{")
+      val out = List.newBuilder[Stmt]
+      while (!at("}")) out += parseStatement()
+      expect("}")
+      out.result()
+    }
+
+    private def parseIndex(): List[String] = {
+      expect("(")
+      val out = List.newBuilder[String]
+      while (!at(")")) next() match {
+        case TEdge(n, _) => out += n
+        case other => err(s"expected edge name in index, found $other")
+      }
+      expect(")")
+      out.result()
+    }
+
+    private def parseStatement(): Stmt = peek match {
+      case TType(name, line) =>
+        pos += 1
+        if (at(":")) { pos += 1; SType(name, parseExpr(), line) }
+        else {
+          val indexes = List.newBuilder[List[String]]
+          while (at("(")) indexes += parseIndex()
+          SModel(name, indexes.result(), parseBlock(), line)
+        }
+      case TEdge("assert", line) =>
+        pos += 1; SAssert(parseExpr(), line)
+      case TEdge("if" | "operation" | "null", _) =>
+        err("if/operation/null statements are not supported (reference raises NotImplementedError too)")
+      case TEdge(name, line) =>
+        pos += 1
+        val title = peek match {
+          case TStr(s, _) => pos += 1; Some(s)
+          case _ => None
+        }
+        val card = peek match {
+          case TPunct(c @ ("*" | "?" | "+" | "!"), _) => pos += 1; Some(c.head)
+          case _ => None
+        }
+        expect(":")
+        SEdge(name, title, card, parseExpr(), line)
+      case other => err(s"expected statement, found $other")
+    }
+
+    // precedence: | then ^ then & then comparison then +- then */% then unary
+    def parseExpr(): Expr = parseOr()
+    private def parseOr(): Expr = binL(parseXor _, Set("|"))
+    private def parseXor(): Expr = binL(parseAnd _, Set("^"))
+    private def parseAnd(): Expr = binL(parseComp _, Set("&"))
+    private def parseComp(): Expr = binL(parseAdd _, Set("!=", "==", ">=", "<=", ">", "<"))
+    private def parseAdd(): Expr = binL(parseMult _, Set("+", "-"))
+    private def parseMult(): Expr = binL(parseUnary _, Set("*", "/", "%"))
+
+    private def binL(child: () => Expr, ops: Set[String]): Expr = {
+      var left = child()
+      var go = true
+      while (go) peek match {
+        case TPunct(op, _) if ops.contains(op) => pos += 1; left = EBinary(op, left, child())
+        case _ => go = false
+      }
+      left
+    }
+
+    private def parseUnary(): Expr = peek match {
+      case TPunct(op @ ("!" | "~"), _) => pos += 1; EUnary(op, parseUnary())
+      case _ => parseAtom()
+    }
+
+    private def parseAtom(): Expr = {
+      val base: Expr = next() match {
+        case TNum(v, _) => ELit(v)
+        case TStr(v, _) => ELit(v)
+        case TBool(v, _) => ELit(v)
+        case TRegex(p, _) => ERegex(p)
+        case TType(n, _) => ETypeId(n)
+        case TEdge(n, _) => EEdgeId(n)
+        case TPunct("(", _) => val e = parseExpr(); expect(")"); e
+        case other => err(s"expected expression, found $other")
+      }
+      peek match {
+        case TPunct("(", _) =>
+          base match {
+            case EEdgeId(callee) =>
+              pos += 1
+              val args = List.newBuilder[Expr]
+              while (!at(")")) args += parseExpr()
+              expect(")")
+              ECall(callee, args.result())
+            case _ => err("cannot call an expression")
+          }
+        case TPunct("." | "[" | "{", _) =>
+          err(".edge access / filters / selects are not supported (reference raises NotImplementedError too)")
+        case _ => base
+      }
+    }
+  }
+
+  // ---- desugar (kyepy desugar.py) ---------------------------------------------
+
+  object Desugar {
+    def run(stmts: List[Stmt]): List[Stmt] = {
+      val aliases = scala.collection.mutable.Map[String, Expr]()
+
+      def substitute(e: Expr): Expr = e match {
+        case ETypeId(n) if aliases.contains(n) => aliases(n)
+        case EBinary(op, l, r) => fold(EBinary(op, substitute(l), substitute(r)))
+        case EUnary(op, r) => EUnary(op, substitute(r))
+        case ECall(c, args) => ECall(c, args.map(substitute))
+        case other => other
+      }
+
+      // literal⊕literal constant folding (desugar.py:142-155)
+      def fold(e: EBinary): Expr = (e.left, e.right) match {
+        case (ELit(a: Double), ELit(b: Double)) => e.op match {
+          case "+" => ELit(a + b); case "-" => ELit(a - b)
+          case "*" => ELit(a * b); case "/" => ELit(a / b)
+          case "==" => ELit(a == b); case "!=" => ELit(a != b)
+          case _ => e
+        }
+        case (ELit(a), ELit(b)) => e.op match {
+          case "==" => ELit(a == b); case "!=" => ELit(a != b)
+          case _ => e
+        }
+        case _ => e
+      }
+
+      def hasRefs(e: Expr): Boolean = e match {
+        case ETypeId(n) => !Set("Boolean", "Number", "Integer", "String").contains(n)
+        case EEdgeId(_) => true
+        case EBinary(_, l, r) => hasRefs(l) || hasRefs(r)
+        case EUnary(_, r) => hasRefs(r)
+        case ECall(_, args) => args.exists(hasRefs)
+        case _ => false
+      }
+
+      val out = List.newBuilder[Stmt]
+      for (s <- stmts) s match {
+        case SType(name, expr0, line) =>
+          val expr = substitute(expr0)
+          if (!hasRefs(expr) && !expr.isInstanceOf[ETypeId]) aliases(name) = expr
+          else expr match {
+            case ETypeId(_) if !hasRefs(expr) => out += SType(name, expr, line)
+            case _ if !hasRefs(expr) => aliases(name) = expr
+            case _ => out += SType(name, expr, line)
+          }
+        case SModel(name, indexes, body, line) =>
+          val newBody = List.newBuilder[Stmt]
+          val extraAsserts = List.newBuilder[Stmt]
+          for (b <- body) b match {
+            case e @ SEdge(en, title, card, expr0, eline) =>
+              val expr = substitute(expr0)
+              expr match {
+                case ETypeId(_) => newBody += e.copy(expr = expr)
+                case _ =>
+                  // edge-expr → assertion + inferred type (desugar.py:37-71,121-129)
+                  val (assertExpr, tpe) = createAssertion(expr, en)
+                  extraAsserts += SAssert(assertExpr, eline)
+                  newBody += SEdge(en, title, card, ETypeId(tpe), eline)
+              }
+            case SAssert(expr, aline) => newBody += SAssert(substitute(expr), aline)
+            case other => newBody += other
+          }
+          out += SModel(name, indexes, newBody.result() ++ extraAsserts.result(), line)
+        case other => out += other
+      }
+      out.result()
+    }
+
+    /** `"a"` ⇒ `edge == "a"`; `/re/` ⇒ `matches(edge, re)`; `!x` ⇒
+      * `edge != x`; logical ops distribute (desugar.py:37-71). */
+    private def createAssertion(e: Expr, edge: String): (Expr, String) = e match {
+      case ERegex(p) => (ECall("matches", List(EEdgeId(edge), ELit(p))), "String")
+      case EBinary(op @ ("|" | "&" | "^"), l, r) =>
+        val (le, lt) = createAssertion(l, edge)
+        val (re, rt) = createAssertion(r, edge)
+        require(lt == rt, s"mixed types in edge expression for $edge")
+        (EBinary(op, le, re), lt)
+      case EUnary("!", r) =>
+        val (_, rt) = createAssertion(r, edge)
+        (EBinary("!=", EEdgeId(edge), r), rt)
+      case ELit(v) =>
+        (EBinary("==", EEdgeId(edge), e), litType(v))
+      case other => throw new IllegalArgumentException(
+        s"Unable to resolve assertion for $other")
+    }
+
+    def litType(v: Any): String = v match {
+      case _: Boolean => "Boolean"
+      case _: Double => "Number"
+      case _: String => "String"
+      case o => throw new IllegalArgumentException(s"unknown literal $o")
+    }
+  }
+
+  // ---- builder (type_builder.py + compiler.py) ----------------------------------
+
+  object Builder {
+    private val binOps = Map(
+      "+" -> Op.ADD, "-" -> Op.SUB, "*" -> Op.MUL, "/" -> Op.DIV,
+      "&" -> Op.AND, "|" -> Op.OR, "==" -> Op.EQ, "!=" -> Op.NE,
+      ">" -> Op.GT, ">=" -> Op.GE, "<" -> Op.LT, "<=" -> Op.LE,
+      // %/^ are grammar-only in the reference (no TokenType members,
+      // SURVEY §2.4-W4); we wire them properly as a documented superset
+      "%" -> Op.MOD)
+
+    def build(stmts: List[Stmt]): CompiledSchema = {
+      // alias-to-type statements surviving desugar: X: Number clones
+      val typeAliases = scala.collection.mutable.Map[String, String]()
+      val natives = Set("Boolean", "Number", "Integer", "String")
+      def rootType(name: String): String =
+        if (natives(name)) name
+        else typeAliases.get(name) match {
+          case Some(p) => rootType(p)
+          case None => throw new IllegalArgumentException(s"Type $name not defined")
+        }
+
+      val models = scala.collection.mutable.LinkedHashMap[String, Model]()
+      for (s <- stmts) s match {
+        case SType(name, ETypeId(parent), _) => typeAliases(name) = parent
+        case SType(name, other, _) =>
+          throw new IllegalArgumentException(s"unsupported type def $name: $other")
+        case SModel(name, indexes, body, _) =>
+          val edges = scala.collection.mutable.LinkedHashMap[String, Edge]()
+          val assertions = List.newBuilder[Assertion]
+          for (b <- body) b match {
+            case SEdge(en, title, card, ETypeId(tn), _) =>
+              val (none, many) = card match {
+                case Some('!') => (false, false)
+                case Some('?') => (true, false)
+                case Some('+') => (false, true)
+                case Some('*') => (true, true)
+                case None => (false, false)
+              }
+              edges(en) = Edge(model = name, name = en, none = none, many = many,
+                tpe = rootType(tn), title = title, expr = None, loc = None)
+            case SEdge(en, _, _, other, _) =>
+              throw new IllegalArgumentException(s"unsupported edge expr $en: $other")
+            case SAssert(expr, _) =>
+              assertions += Assertion(model = name, msg = "",
+                expr = toPostfix(expr), loc = None)
+            case other =>
+              throw new IllegalArgumentException(s"unsupported model statement $other")
+          }
+          for (ix <- indexes.flatten)
+            require(edges.contains(ix), s"Index $ix not defined in model $name")
+          models(name) = Model(name, indexes, edges.toMap, assertions.result(), None)
+        case SEdge(n, _, _, _, line) =>
+          throw ParseError(s"edge '$n' outside a model", line)
+        case SAssert(_, line) =>
+          throw ParseError("assert outside a model", line)
+      }
+      CompiledSchema(Map.empty, models.toMap)
+    }
+
+    /** Expr tree → flat postfix with literal inlining. The reference
+      * inlines every VAL child into the parent's args regardless of
+      * position (`compiler.py:65-75`), which reorders operands of
+      * non-commutative ops when a literal appears on the LEFT (e.g.
+      * `5 < col` compiles to `col < 5`). We inline only suffix literals —
+      * identical artifacts for everything the corpus exercises, correct
+      * for literal-left comparisons (documented deviation). */
+    private def toPostfix(e: Expr): List[Cmd] = {
+      def litVal(x: Expr): Option[Any] = x match {
+        case ELit(v) => Some(v)
+        case _ => None
+      }
+      e match {
+        case ELit(v) => List(Cmd(Op.VAL, List(v)))
+        case ERegex(p) => throw new IllegalArgumentException("bare regex in assertion")
+        case EEdgeId(n) => List(Cmd.one(Op.COL, n))
+        case ETypeId(n) => throw new IllegalArgumentException(s"type $n in expression")
+        case EUnary("!", r) => toPostfix(r) :+ Cmd(Op.NOT)
+        case EUnary(op, _) => throw new IllegalArgumentException(s"unary $op unsupported")
+        case ECall("matches", List(obj, pat)) =>
+          (litVal(pat) match {
+            case Some(p) => toPostfix(obj) :+ Cmd(Op.MATCHES, List(p))
+            case None => toPostfix(obj) ++ toPostfix(pat) :+ Cmd(Op.MATCHES)
+          }) match { case l => l }
+        case ECall(c, _) => throw new IllegalArgumentException(s"call $c unsupported")
+        case EBinary("^", l, r) =>
+          // xor as (l | r) & !(l & r) — superset; reference cannot compile ^
+          toPostfix(EBinary("&",
+            EBinary("|", l, r), EUnary("!", EBinary("&", l, r))))
+        case EBinary(op, l, r) =>
+          val opc = binOps.getOrElse(op,
+            throw new IllegalArgumentException(s"operator $op unsupported"))
+          litVal(r) match {
+            case Some(v) if opc.matchesSignature(List(v)) =>
+              toPostfix(l) :+ Cmd(opc, List(v))
+            case _ => toPostfix(l) ++ toPostfix(r) :+ Cmd(opc)
+          }
+      }
+    }
+  }
+}

@@ -96,11 +96,15 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
     struct(lit(id).as("cid"), pass.as("pass"), lit(column).as("column"),
       observed.cast("string").as("observed"), expected.cast("string").as("expected"))
 
-  private def explodeFails(df: DataFrame, structs: Seq[Column]): DataFrame =
-    df.select(
+  /** Materialize violation rows for failing checks only. The hot path is a
+    * pure-predicate `anyFail` filter (codegen, zero allocation on passing
+    * rows — at 1e-3 error rates that's 99.9% of the input); the struct
+    * array + explode run only on the surviving sliver. */
+  private def explodeFails(df: DataFrame, structs: Seq[Column], fails: Seq[Column]): DataFrame =
+    df.where(fails.reduce(_ || _))
+      .select(
         col("conv_id"), col("turn_idx"), col(cfg.partitionIdCol).as("partition_id"),
         filter(array(structs: _*), s => !s.getField("pass")).as("_fails"))
-      .where(size(col("_fails")) > 0)
       .select(col("conv_id"), col("turn_idx"), col("partition_id"),
         explode(col("_fails")).as("_f"))
       .select(
@@ -112,24 +116,61 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
   def rowViolations(df0: DataFrame): DataFrame = {
     val df = withPartId(df0)
     val roles = cfg.roles
-    val checks = Seq(
-      vioStruct(NullConvId, col("conv_id").isNotNull, "conv_id",
-        lit(null).cast("string"), lit("non-null")),
-      vioStruct(NullTurnIdx, col("turn_idx").isNotNull, "turn_idx",
-        lit(null).cast("string"), lit("non-null")),
-      vioStruct(NegTurnIdx, coalesce(col("turn_idx") >= 0, lit(true)), "turn_idx",
-        col("turn_idx"), lit("turn_idx >= 0")),
-      vioStruct(NullRole, col("role").isNotNull, "role",
-        lit(null).cast("string"), lit("non-null")),
-      vioStruct(RoleEnum, col("role").isNull || col("role").isin(roles: _*), "role",
-        col("role"), lit(roles.mkString("|"))),
-      vioStruct(NullText, col("text").isNotNull, "text",
-        lit(null).cast("string"), lit("non-null")),
-      vioStruct(NullTs, col("ts").isNotNull, "ts",
-        lit(null).cast("string"), lit("non-null")),
-      vioStruct(ToolRole, col("tool").isNull || col("role") === "tool", "tool",
-        col("tool"), lit("tool set only when role = 'tool'")))
-    explodeFails(df, checks)
+    // (pass predicate, violation struct) — pass must be null-free
+    val checks: Seq[(Column, Column)] = Seq(
+      col("conv_id").isNotNull ->
+        vioStruct(NullConvId, col("conv_id").isNotNull, "conv_id",
+          lit(null).cast("string"), lit("non-null")),
+      col("turn_idx").isNotNull ->
+        vioStruct(NullTurnIdx, col("turn_idx").isNotNull, "turn_idx",
+          lit(null).cast("string"), lit("non-null")),
+      coalesce(col("turn_idx") >= 0, lit(true)) ->
+        vioStruct(NegTurnIdx, coalesce(col("turn_idx") >= 0, lit(true)), "turn_idx",
+          col("turn_idx"), lit("turn_idx >= 0")),
+      col("role").isNotNull ->
+        vioStruct(NullRole, col("role").isNotNull, "role",
+          lit(null).cast("string"), lit("non-null")),
+      (col("role").isNull || col("role").isin(roles: _*)) ->
+        vioStruct(RoleEnum, col("role").isNull || col("role").isin(roles: _*), "role",
+          col("role"), lit(roles.mkString("|"))),
+      col("text").isNotNull ->
+        vioStruct(NullText, col("text").isNotNull, "text",
+          lit(null).cast("string"), lit("non-null")),
+      col("ts").isNotNull ->
+        vioStruct(NullTs, col("ts").isNotNull, "ts",
+          lit(null).cast("string"), lit("non-null")),
+      (col("tool").isNull || col("role") === "tool") ->
+        vioStruct(ToolRole, col("tool").isNull || col("role") === "tool", "tool",
+          col("tool"), lit("tool set only when role = 'tool'")))
+    explodeFails(df, checks.map(_._2), checks.map(c => !c._1))
+  }
+
+  /** One-pass health check: per-constraint row-violation counts AND
+    * per-column stats (count/nulls/min/max/HLL) in a SINGLE aggregation
+    * over a SINGLE scan — the "per-column stats + predicate-eval stage" of
+    * the north rule as one fused operator. Returns a 1-row DataFrame:
+    * `total_rows`, `viol_<constraint>` per row constraint, and
+    * `<col>_{nonnull,distinct,min,max}` per column. */
+  def healthCheck(df0: DataFrame, cols: Seq[String]): DataFrame = {
+    val df = withPartId(df0)
+    val roles = cfg.roles
+    val fails: Seq[(String, Column)] = Seq(
+      NullConvId -> col("conv_id").isNull,
+      NullTurnIdx -> col("turn_idx").isNull,
+      NegTurnIdx -> !coalesce(col("turn_idx") >= 0, lit(true)),
+      NullRole -> col("role").isNull,
+      RoleEnum -> !(col("role").isNull || col("role").isin(roles: _*)),
+      NullText -> col("text").isNull,
+      NullTs -> col("ts").isNull,
+      ToolRole -> !(col("tool").isNull || col("role") === "tool"))
+    val aggs: Seq[Column] =
+      fails.map { case (id, f) => sum(when(f, 1L).otherwise(0L)).as(s"viol_$id") } ++
+      cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}_nonnull"),
+        approx_count_distinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max")) }
+    df.agg(count(lit(1)).as("total_rows"), aggs: _*)
   }
 
   /** Steps 2-3: the reduced per-turn sequence table:
@@ -164,14 +205,14 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
 
   /** Dup/gap/ts-monotone violations in ONE plan over the sequence table. */
   def keySequenceViolations(seq: DataFrame): DataFrame = {
-    val checks = Seq(
+    val structs = Seq(
       vioStruct(DupKey, !(col("_n") > 1), "conv_id,turn_idx",
         concat(lit("count="), col("_n")), lit("unique (conv_id, turn_idx)")),
       vioStruct(SeqGap, !gapPred, "turn_idx",
         col("turn_idx"), coalesce(col("_prev_turn") + 1, lit(0))),
       vioStruct(TsMonotone, !tsRegressPred, "ts",
         col("_min_ts"), concat(lit(">= "), col("_prev_max_ts").cast("string"))))
-    explodeFails(seq, checks)
+    explodeFails(seq, structs, Seq(col("_n") > 1, gapPred, tsRegressPred))
   }
 
   /** Step 4: per-conversation verdicts (reuses the window's conv_id hash

@@ -1,0 +1,166 @@
+package graft.parse
+
+import graft.schema._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSL front-end must compile every corpus schema to EXACTLY the
+  * artifact the reference compiler produces (the hand-authored artifacts in
+  * src/test/resources/corpus were verified by running the reference's own
+  * loader against the golden expectations — see tests.json provenance). */
+class KyeParserSpec extends AnyFunSuite {
+
+  private def artifact(slug: String): CompiledSchema =
+    CompiledSchema.fromJson(scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(s"/corpus/$slug.kye.json")).mkString)
+
+  // corpus schemas verbatim from the reference tests/validation_tests.yaml
+  private val schemas: Map[String, String] = Map(
+    "multiindex" ->
+      """User(id)(username) {
+        |  id: Number
+        |  username: String
+        |}""".stripMargin,
+    "composite_index" ->
+      """Date(id)(year, month, day) {
+        |  id: Number
+        |  year: Number
+        |  month: Number
+        |  day: Number
+        |}""".stripMargin,
+    "conflicting_index_detection" ->
+      """Employee(id1)(id2)(other) {
+        |  id1: Number
+        |  id2: Number
+        |  other: String
+        |}""".stripMargin,
+    "conflicting_composite_index_detection" ->
+      """Foo(ax,ay)(bx,by) {
+        |  ax: Number
+        |  ay: Number
+        |  bx: Number
+        |  by: Number
+        |}""".stripMargin,
+    "basic_schema_checks" ->
+      """User(id) {
+        |  id: Number
+        |  admin: Boolean
+        |  name?: String
+        |}""".stripMargin,
+    "required_columns" ->
+      """User(id)(name) {
+        |  id: Number
+        |  name: String
+        |  required: Boolean
+        |}""".stripMargin,
+    "optional_columns" ->
+      """User(id) {
+        |  id: Number
+        |  optional?: Number
+        |  many*: Number
+        |}""".stripMargin,
+    "multi_value_columns" ->
+      """Post(id) {
+        |  id: Number
+        |  title: String
+        |  author: String
+        |  tags*: String
+        |}""".stripMargin,
+    "constant_type_aliases" ->
+      """Alias1: "ALIAS_CONST"
+        |Alias2: Alias1
+        |Model(id) {
+        |  id: Number
+        |  direct_const?: "DIRECT_CONST"
+        |  alias_const?: Alias2
+        |}""".stripMargin,
+    "logical_constants" ->
+      """Model(id) {
+        |  id: Number
+        |  inline_enum: ("ENUM1" | "ENUM2") & !"ENUM3"
+        |}""".stripMargin,
+    "boolean_assertion" ->
+      """Model(id) {
+        |  id: Number
+        |  bool: Boolean
+        |  assert bool
+        |  assert !!bool
+        |}""".stripMargin,
+    "regex" ->
+      """Model(id) {
+        |  id: Number
+        |  regex: /a+/
+        |}""".stripMargin)
+
+  private def normalize(s: CompiledSchema): Map[String, (List[List[String]], Map[String, (Boolean, Boolean, String, Option[String])], Set[List[Cmd]])] =
+    s.models.map { case (n, m) =>
+      n -> ((m.indexes,
+        m.edges.map { case (en, e) => en -> ((e.none, e.many, e.tpe, e.title)) },
+        m.assertions.map(_.expr).toSet))
+    }
+
+  for ((slug, src) <- schemas.toSeq.sortBy(_._1)) {
+    test(s"compiles $slug to the reference artifact") {
+      val got = KyeParser.compile(src)
+      val expected = artifact(slug)
+      assert(normalize(got) == normalize(expected),
+        s"\n got: ${normalize(got)}\n exp: ${normalize(expected)}")
+    }
+  }
+
+  test("titles, comments, numbers, operator precedence, % superset") {
+    val s = KyeParser.compile(
+      """# a comment
+        |User(id) {
+        |  id "User Id": Number   # trailing comment
+        |  assert id % 2.0 >= 0 & id * 2 - 1 < 100
+        |}""".stripMargin)
+    val m = s.models("User")
+    assert(m.edges("id").title.contains("User Id"))
+    val a = m.assertions.head.expr
+    // ((id % 2 >= 0) AND (id*2-1 < 100)) with suffix literals inlined
+    assert(a == List(
+      Cmd.one(Op.COL, "id"), Cmd(Op.MOD, List(2.0)), Cmd(Op.GE, List(0.0)),
+      Cmd.one(Op.COL, "id"), Cmd(Op.MUL, List(2.0)), Cmd(Op.SUB, List(1.0)),
+      Cmd(Op.LT, List(100.0)), Cmd(Op.AND)))
+  }
+
+  test("literal-left comparison keeps operand order (reference compiler would flip it)") {
+    val s = KyeParser.compile(
+      """M(id) {
+        |  id: Number
+        |  assert 5 < id
+        |}""".stripMargin)
+    val a = s.models("M").assertions.head.expr
+    assert(a == List(Cmd(Op.VAL, List(5.0)), Cmd.one(Op.COL, "id"), Cmd(Op.LT)))
+  }
+
+  test("constant folding of literal arithmetic") {
+    val s = KyeParser.compile(
+      """M(id) {
+        |  id: Number
+        |  assert id == 2 + 3 * 1
+        |}""".stripMargin)
+    // 3*1 folds to 3, 2+3 folds to 5 (desugar.py:142-155 folds bottom-up)
+    assert(s.models("M").assertions.head.expr ==
+      List(Cmd.one(Op.COL, "id"), Cmd(Op.EQ, List(5.0))))
+  }
+
+  test("unsupported constructs rejected like the reference") {
+    intercept[Exception](KyeParser.compile("M(id) { id: Number\n if id { } }"))
+    intercept[Exception](KyeParser.compile("M(id) { id: Number\n assert id.length }"))
+    intercept[Exception](KyeParser.compile("M(id) { id: Number\n assert foo(id) }"))
+  }
+
+  test("compiled schema validates end-to-end (parser -> validator parity)") {
+    // same schema via DSL and via artifact must behave identically
+    val viaDsl = CompiledSchema.nativeTypes.merge(KyeParser.compile(
+      """Model(id) {
+        |  id: Number
+        |  regex: /a+/
+        |}""".stripMargin))
+    val viaJson = CompiledSchema.load(scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/corpus/regex.kye.json")).mkString)
+    assert(viaDsl.models("Model").assertions.map(_.expr) ==
+      viaJson.models("Model").assertions.map(_.expr))
+  }
+}

@@ -118,6 +118,17 @@ class TranscriptValidatorSpec extends SparkSuite {
     assert(parts.exists(!_.getAs[Boolean]("pass")))
   }
 
+  test("healthCheck: one-pass constraint counts + column stats agree with row violations") {
+    val hc = new TranscriptValidator().healthCheck(fixture, Seq("conv_id", "role")).collect()(0)
+    assert(hc.getAs[Long]("total_rows") == 26L)
+    assert(hc.getAs[Long](s"viol_$NullRole") == 2L)
+    assert(hc.getAs[Long](s"viol_$RoleEnum") == 1L)
+    assert(hc.getAs[Long](s"viol_$NegTurnIdx") == 1L)
+    assert(hc.getAs[Long](s"viol_$NullConvId") == 1L)
+    assert(hc.getAs[Long]("conv_id_nonnull") == 25L)
+    assert(hc.getAs[String]("role_min") == "assistant")
+  }
+
   test("generator-scale consistency: injected errors are all detected") {
     import graft.gen.TranscriptGen
     import org.apache.spark.sql.functions._
