@@ -100,20 +100,26 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
     * pure-predicate `anyFail` filter (codegen, zero allocation on passing
     * rows — at 1e-3 error rates that's 99.9% of the input); the struct
     * array + explode run only on the surviving sliver. */
-  private def explodeFails(df: DataFrame, structs: Seq[Column], fails: Seq[Column]): DataFrame =
+  private def explodeFails(df: DataFrame, structs: Seq[Column], fails: Seq[Column],
+                           extraCols: Seq[String] = Nil): DataFrame =
     df.where(fails.reduce(_ || _))
       .select(
-        col("conv_id"), col("turn_idx"), col(cfg.partitionIdCol).as("partition_id"),
-        filter(array(structs: _*), s => !s.getField("pass")).as("_fails"))
-      .select(col("conv_id"), col("turn_idx"), col("partition_id"),
-        explode(col("_fails")).as("_f"))
+        (Seq(col("conv_id"), col("turn_idx"), col(cfg.partitionIdCol).as("partition_id"),
+          filter(array(structs: _*), s => !s.getField("pass")).as("_fails")) ++
+          extraCols.map(col)): _*)
       .select(
-        col("_f.cid").as("constraint_id"), col("conv_id"), col("turn_idx"),
-        col("_f.column").as("column"), col("_f.observed").as("observed"),
-        col("_f.expected").as("expected"), col("partition_id"))
+        (Seq(col("conv_id"), col("turn_idx"), col("partition_id"),
+          explode(col("_fails")).as("_f")) ++ extraCols.map(col)): _*)
+      .select(
+        (Seq(col("_f.cid").as("constraint_id"), col("conv_id"), col("turn_idx"),
+          col("_f.column").as("column"), col("_f.observed").as("observed"),
+          col("_f.expected").as("expected"), col("partition_id")) ++
+          extraCols.map(col)): _*)
 
-  /** Step 1: all row-level constraints in one codegen'd pass, no shuffle. */
-  def rowViolations(df0: DataFrame): DataFrame = {
+  /** Step 1: all row-level constraints in one codegen'd pass, no shuffle.
+    * `extraCols` are carried through to the violation rows (e.g. the event
+    * time for streaming windows). */
+  def rowViolations(df0: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
     val df = withPartId(df0)
     val roles = cfg.roles
     // (pass predicate, violation struct) — pass must be null-free
@@ -142,7 +148,7 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
       (col("tool").isNull || col("role") === "tool") ->
         vioStruct(ToolRole, col("tool").isNull || col("role") === "tool", "tool",
           col("tool"), lit("tool set only when role = 'tool'")))
-    explodeFails(df, checks.map(_._2), checks.map(c => !c._1))
+    explodeFails(df, checks.map(_._2), checks.map(c => !c._1), extraCols)
   }
 
   /** One-pass health check: per-constraint row-violation counts AND
