@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash as one native Catalyst expression: tokenize → per-token
+  * 64-bit hash → per-bit vote → packed fingerprint, in a single JVM loop
+  * per row (same rationale as [[ShingleMinHash]]: the pure-Catalyst
+  * formulation needs 64 interpreted `aggregate` lambdas per row). */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.fingerprint(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private final val FNV_OFFSET = 0xcbf29ce484222325L
+  private final val FNV_PRIME = 0x100000001b3L
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def fingerprint(text: String): Long = {
+    val lower = text.toLowerCase
+    val votes = new Array[Int](64)
+    var i = 0
+    val len = lower.length
+    while (i < len) {
+      while (i < len && !Character.isLetterOrDigit(lower.charAt(i))) i += 1
+      val start = i
+      var h = FNV_OFFSET
+      while (i < len && Character.isLetterOrDigit(lower.charAt(i))) {
+        h = (h ^ lower.charAt(i).toLong) * FNV_PRIME; i += 1
+      }
+      if (i > start) {
+        val th = mix(h)
+        var j = 0
+        while (j < 64) {
+          if (((th >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      SimHash64(org.apache.spark.sql.GraftExpressionBridge.expression(c)))
+}

@@ -79,9 +79,12 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // native fused expression: ~500x the throughput of the HOF formulation
+    // (interpreted lambdas), see graft.functions.ShingleMinHash
     val sigs = df.select(
       col(idCol).as("doc_id"),
-      minHashSignature(shingles(col(textCol), shingleK), numHashes).as("_sig"))
+      graft.functions.ShingleMinHash.shingle_minhash(
+        col(textCol), shingleK, numHashes).as("_sig"))
     val buckets = lshBuckets(sigs, "doc_id", "_sig", bands, rowsPerBand)
     val sized = buckets
       .groupBy(col("band_id"), col("band_hash"))
@@ -155,7 +158,8 @@ object Dedup {
     * candidate; complete for maxHamming ≤ 3). */
   def simHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("_fp"))
+    val fp = df.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("_fp"))
     val chunks = fp.select(col("doc_id"), col("_fp"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("_fp"), i * 16).bitwiseAND(0xFFFFL)): _*)))
