@@ -139,6 +139,17 @@ object SparkEntry {
           Cmd.one(EQ, 500.0), Cmd(OR)).as("ge_eq"))
     }),
 
+    // == Kye engine: COUNT opcode (aggregate context, artifact-reachable
+    // only — kyepy op.py:40 / vm.py:112-113) ==
+    "q_expr_count" -> ((s, dir) => {
+      import Op._
+      events(s, dir).groupBy(col("user_id")).agg(
+        ExprCompiler.compileAggregate(
+          List(Cmd.one(COL, "event_type"), Cmd(COUNT))).as("n_types"),
+        ExprCompiler.compileAggregate(
+          List(Cmd.one(COL, "value"), Cmd(COUNT))).as("n_values"))
+    }),
+
     // == Kye engine: S4 assertions; violations anchored on natural key ==
     "q_assert_violations" -> ((s, dir) =>
       validateEvents(s, dir).select(
@@ -339,6 +350,10 @@ object SparkEntry {
         | value != 9.64 AS ne_lit,
         | event_id >= 500 OR event_id = 500 AS ge_eq
         |FROM events""".stripMargin,
+    "q_expr_count" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types,
+        |       count(DISTINCT value) AS n_values
+        |FROM events GROUP BY user_id""".stripMargin,
     "q_assert_violations" ->
       """SELECT 'AssertionFailed' AS err, event_id AS row_id, 'value' AS col_name
         |FROM events WHERE NOT (value <= 300)""".stripMargin,
