@@ -162,34 +162,64 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
 
     // ---- S6: cardinality verdicts + group-by-key (one shuffle) ------------
     val key = keyStruct(model.index)
+    // Scalar single-valued edges avoid any per-group set materialization:
+    // "multiple distinct values" ⟺ min != max, "missing" ⟺ count == 0,
+    // grouped value = min — bounded memory under hot keys (SURVEY §4
+    // spill note). Only `many` edges and physically-array columns collect
+    // their (semantically required) distinct value sets.
+    sealed trait Mode
+    case object Scalar extends Mode
+    case object SetOf extends Mode
+    case object ArrayOf extends Mode
+    val modes: Map[String, Mode] = dataCols.map { c =>
+      val isArray = df.schema(c).dataType.isInstanceOf[ArrayType]
+      val e = model.edge(c)
+      c -> (if (isArray) ArrayOf else if (e.many) SetOf else Scalar)
+    }.toMap
     val aggExprs = ListBuffer.empty[Column]
     aggExprs += collect_list(col(rowId)).as("_rows")
-    for (c <- dataCols) {
-      val isArray = df.schema(c).dataType.isInstanceOf[ArrayType]
-      if (isArray) {
+    for (c <- dataCols) modes(c) match {
+      case ArrayOf =>
         // per-value semantics: distinct non-null elements across the group
         // (reference: explode().dropna().nunique(), loader.py:157-159)
         val vals = array_distinct(filter(
           flatten(collect_list(coalesce(col(c), array()))), _.isNotNull))
         aggExprs += vals.as(s"_vals_$c")
-      } else {
+      case SetOf =>
         aggExprs += collect_set(col(c)).as(s"_vals_$c") // excludes nulls
-      }
+      case Scalar =>
+        aggExprs += min(col(c)).as(s"_min_$c")
+        aggExprs += max(col(c)).as(s"_max_$c")
+        aggExprs += count(col(c)).as(s"_cnt_$c")
     }
     val grouped0 = df.groupBy(key.as("_key")).agg(aggExprs.head, aggExprs.tail.toSeq: _*)
     // first non-null in row order is not distributed-stable; sorted-distinct
-    // is. Groups where it matters (>1 distinct on a single-valued edge) are
-    // dropped as MultipleValues anyway, so survivors are unaffected.
+    // (= min for scalars) is. Groups where it matters (>1 distinct on a
+    // single-valued edge) are dropped as MultipleValues anyway, so
+    // survivors are unaffected.
     val groupedCols: Seq[Column] =
       Seq(col("_key"), col("_rows")) ++
         dataCols.map { c =>
-          val vals = col(s"_vals_$c")
           val e = model.edge(c)
-          // `get` (not getItem) tolerates the empty-group case under ANSI
-          val out = if (e.many) sort_array(vals) else get(sort_array(vals), lit(0))
-          out.as(c)
+          modes(c) match {
+            case Scalar => col(s"_min_$c").as(c)
+            case _ =>
+              val vals = col(s"_vals_$c")
+              // `get` (not getItem) tolerates the empty group under ANSI
+              val out = if (e.many) sort_array(vals) else get(sort_array(vals), lit(0))
+              out.as(c)
+          }
         } ++
-        dataCols.map(c => size(col(s"_vals_$c")).as(s"_n_$c"))
+        dataCols.map { c =>
+          modes(c) match {
+            case Scalar =>
+              // 0 when empty, 1 when single distinct, 2 as "more than one"
+              when(col(s"_cnt_$c") === 0, 0)
+                .when(col(s"_min_$c") === col(s"_max_$c"), 1)
+                .otherwise(2).as(s"_n_$c")
+            case _ => size(col(s"_vals_$c")).as(s"_n_$c")
+          }
+        }
     val grouped = grouped0.select(groupedCols: _*).cache()
 
     var groupOk: Column = lit(true)
