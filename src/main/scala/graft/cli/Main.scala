@@ -73,6 +73,18 @@ object Main {
         Option(r.getAs[String]("expected")).map(e => s" expected=$e").getOrElse(""))
     }
     if (rows.length > 50) println(s"... and ${rows.length - 50} more")
+    // highlighted slice of offending data, like the reference report
+    // (kyepy validation_errors.py:126-154: <=10 rows, offending columns)
+    val vioRowIds = rows.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .distinct.sorted.take(10)
+    val vioCols = rows.flatMap(r => Option(r.getAs[String]("col"))).distinct
+    if (vioRowIds.nonEmpty && vioCols.nonEmpty) {
+      val keep = withIds.columns.filter(c => c == "_row" || vioCols.contains(c))
+      withIds.filter(col("_row").isin(vioRowIds: _*))
+        .select(keep.map(col): _*).orderBy("_row").show(10, truncate = false)
+      if (rows.length > vioRowIds.length)
+        println(s"... and ${rows.length - vioRowIds.length} more violation rows")
+    }
     println(s"${rows.length} violations; survivors=" +
       result.survivors.map(_.count().toString).getOrElse("<aborted>"))
     rows.nonEmpty

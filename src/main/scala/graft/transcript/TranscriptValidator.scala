@@ -250,6 +250,16 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
         lit("conv_id present in conversation table").as("expected"),
         col("partition_id"))
 
+  /** Surviving rows: turns of conversations whose every check passed (the
+    * cleaned table downstream consumers read; per-row `text` equality
+    * under stable (conv_id, turn_idx) ordering is the pipeline's content
+    * invariant — validation must never rewrite surviving rows). Semi-join
+    * at the conversation grain; broadcast when the passing-conv dim is
+    * small, shuffle otherwise (Spark/AQE decides). */
+  def cleanRows(df: DataFrame, convVerdicts: DataFrame): DataFrame =
+    df.join(convVerdicts.filter(col("pass")).select(col("conv_id")),
+      Seq("conv_id"), "left_semi")
+
   /** Full suite. */
   def validate(df0: DataFrame, convKeys: Option[DataFrame] = None): TranscriptReport = {
     val df = withPartId(df0)

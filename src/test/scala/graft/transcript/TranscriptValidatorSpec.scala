@@ -129,6 +129,31 @@ class TranscriptValidatorSpec extends SparkSuite {
     assert(hc.getAs[String]("role_min") == "assistant")
   }
 
+  test("clean rows: per-row text equality under stable (conv_id, turn_idx) order") {
+    import graft.gen.TranscriptGen
+    import org.apache.spark.sql.functions._
+    val dirty = TranscriptGen.GenConfig(numConvs = 200, seed = 17, gapRate = 0.02)
+    val clean = dirty.copy(gapRate = 0.0)
+    val data = TranscriptGen.transcripts(spark, dirty)
+    val v = new TranscriptValidator()
+    val report = v.validate(data)
+    val survivors = v.cleanRows(data, report.convVerdicts)
+    // the validator must not rewrite surviving rows: their (conv, turn,
+    // text) content equals the pristine generator output for those convs
+    def contentHash(df: org.apache.spark.sql.DataFrame) = df.agg(
+      sum(pmod(xxhash64(col("conv_id"), col("turn_idx"), col("text")), lit(1000000007L))),
+      count(lit(1))).collect()(0)
+    val pristine = TranscriptGen.transcripts(spark, clean)
+      .join(report.convVerdicts.filter(col("pass")).select("conv_id"), Seq("conv_id"), "left_semi")
+    assert(contentHash(survivors) == contentHash(pristine))
+    // and survivors really are ordered-gap-free per conversation
+    val bad = survivors.groupBy("conv_id")
+      .agg(countDistinct("turn_idx").as("n"), min("turn_idx").as("mn"), max("turn_idx").as("mx"))
+      .filter(!(col("mn") === 0 && col("mx") === col("n") - 1)).count()
+    assert(bad == 0)
+    report.cleanup()
+  }
+
   test("generator-scale consistency: injected errors are all detected") {
     import graft.gen.TranscriptGen
     import org.apache.spark.sql.functions._
