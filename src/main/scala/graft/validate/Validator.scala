@@ -176,8 +176,11 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       val e = model.edge(c)
       c -> (if (isArray) ArrayOf else if (e.many) SetOf else Scalar)
     }.toMap
+    // violation row ids are recovered by joining the (sparse) failing-key
+    // set back to this projection — never by collecting row-id lists per
+    // group, which would materialize O(rows) list cells in the aggregate
+    val keyedRows = df.select(col(rowId), key.as("_key"))
     val aggExprs = ListBuffer.empty[Column]
-    aggExprs += collect_list(col(rowId)).as("_rows")
     for (c <- dataCols) modes(c) match {
       case ArrayOf =>
         // per-value semantics: distinct non-null elements across the group
@@ -192,13 +195,14 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         aggExprs += max(col(c)).as(s"_max_$c")
         aggExprs += count(col(c)).as(s"_cnt_$c")
     }
-    val grouped0 = df.groupBy(key.as("_key")).agg(aggExprs.head, aggExprs.tail.toSeq: _*)
+    val grouped0 = df.groupBy(key.as("_key"))
+      .agg(count(lit(1)).as("_gn"), aggExprs.toSeq: _*)
     // first non-null in row order is not distributed-stable; sorted-distinct
     // (= min for scalars) is. Groups where it matters (>1 distinct on a
     // single-valued edge) are dropped as MultipleValues anyway, so
     // survivors are unaffected.
     val groupedCols: Seq[Column] =
-      Seq(col("_key"), col("_rows")) ++
+      Seq(col("_key")) ++
         dataCols.map { c =>
           val e = model.edge(c)
           modes(c) match {
@@ -223,25 +227,29 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     val grouped = grouped0.select(groupedCols: _*).cache()
 
     var groupOk: Column = lit(true)
+    val badKeyParts = ListBuffer.empty[DataFrame]
     for (c <- dataCols) {
       val e = model.edge(c)
       val n = col(s"_n_$c")
+      def badKeys(cond: Column, err: String): DataFrame =
+        grouped.filter(cond).select(
+          col("_key"), lit(err).as("err"), lit(c).as("col"),
+          lit(e.loc.orNull).cast(StringType).as("loc"))
       if (!e.many) {
-        violations += grouped.filter(n > 1).select(
-          lit("MultipleValues").as("err"), lit(model.name).as("model"),
-          explode(col("_rows")).as("row"),
-          lit(c).as("col"), lit(e.loc.orNull).cast(StringType).as("loc"),
-          lit(null).cast(StringType).as("expected"))
+        badKeyParts += badKeys(n > 1, "MultipleValues")
         groupOk = groupOk && !(n > 1)
       }
       if (!e.none) {
-        violations += grouped.filter(n === 0).select(
-          lit("MissingValue").as("err"), lit(model.name).as("model"),
-          explode(col("_rows")).as("row"),
-          lit(c).as("col"), lit(e.loc.orNull).cast(StringType).as("loc"),
-          lit(null).cast(StringType).as("expected"))
+        badKeyParts += badKeys(n === 0, "MissingValue")
         groupOk = groupOk && !(n === 0)
       }
+    }
+    if (badKeyParts.nonEmpty) {
+      val bad = badKeyParts.reduce(_ union _)
+      violations += keyedRows.join(bad, "_key").select(
+        col("err"), lit(model.name).as("model"),
+        col(rowId).cast(LongType).as("row"), col("col"), col("loc"),
+        lit(null).cast(StringType).as("expected"))
     }
     var gdf = grouped.filter(groupOk).cache()
     if (config.abortOnEmpty && gdf.isEmpty) return abort()
@@ -257,22 +265,20 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         val sameType = idx1.zip(idx2).forall { case (a, b) =>
           gdf.schema(a).dataType == gdf.schema(b).dataType }
         if (sameType) {
-          val p1 = gdf.select(keyStructOver(gdf, idx1).as("_v"), col("_key"), col("_rows"))
-          val p2 = gdf.select(keyStructOver(gdf, idx2).as("_v"), col("_key"), col("_rows"))
+          val p1 = gdf.select(keyStructOver(gdf, idx1).as("_v"), col("_key"))
+          val p2 = gdf.select(keyStructOver(gdf, idx2).as("_v"), col("_key"))
           val t = p1.union(p2)
           val conflicts = t.groupBy("_v").agg(countDistinct(col("_key")).as("_n"))
             .filter(col("_n") > 1).select("_v")
-          val affected = t.join(conflicts, "_v").select(col("_key"), col("_rows")).distinct()
-          affectedKeySets += affected.select("_key")
+          val affected = t.join(conflicts, "_v").select(col("_key")).distinct()
+          affectedKeySets += affected
           val edgesOut = (idx1 ++ idx2).distinct
-          violations += affected.select(
+          violations += keyedRows.join(affected, "_key").select(
             lit("IndexConflict").as("err"), lit(model.name).as("model"),
-            explode(col("_rows")).as("row"),
-            lit(null).cast(StringType).as("col"),
+            col(rowId).cast(LongType).as("row"),
+            explode(array(edgesOut.map(lit(_)): _*)).as("col"),
             lit(model.loc.orNull).cast(StringType).as("loc"),
             lit(null).cast(StringType).as("expected"))
-            .withColumn("col", explode(array(edgesOut.map(lit(_)): _*)))
-            .select("err", "model", "row", "col", "loc", "expected")
         }
       }
       if (affectedKeySets.nonEmpty) {
