@@ -59,20 +59,30 @@ object Main {
         yaml = schemaPath.endsWith(".yaml") || schemaPath.endsWith(".yml"))
     val model = opts("model")
     val data = readAny(spark, opts("data"))
-    val withIds = Validator.withRowIds(data)
+    // --row-key <col>: anchor violations on a natural key column (stays
+    // columnar/codegen, no RDD round-trip). zipWithIndex is the explicit
+    // fallback for keyless fixtures only.
+    val withIds = opts.get("row-key") match {
+      case Some(k) => data.withColumn("_row", col(k).cast("long"))
+      case None => Validator.withRowIds(data)
+    }
     val result = new Validator(schema,
       ValidatorConfig(strictReferenceParity = opts.contains("parity")))
       .validate(model, withIds)
     val violations = result.violations.cache()
     opts.get("violations").foreach(out =>
       violations.write.mode("overwrite").parquet(out))
-    val rows = violations.orderBy("err", "row", "col").collect()
-    rows.take(50).foreach { r =>
+    // driver fetch is bounded: total via count(), report via limit(50) —
+    // never collect the full violation set (10^12 rows x 1e-3 error rate
+    // would be 10^9 driver-side rows)
+    val totalViolations = violations.count()
+    val rows = violations.orderBy("err", "row", "col").limit(50).collect()
+    rows.foreach { r =>
       println(s"${r.getAs[String]("err")}: ${r.getAs[String]("model")}" +
         s" row=${Option(r.get(2)).getOrElse("-")} col=${Option(r.get(3)).getOrElse("-")}" +
         Option(r.getAs[String]("expected")).map(e => s" expected=$e").getOrElse(""))
     }
-    if (rows.length > 50) println(s"... and ${rows.length - 50} more")
+    if (totalViolations > 50) println(s"... and ${totalViolations - 50} more")
     // highlighted slice of offending data, like the reference report
     // (kyepy validation_errors.py:126-154: <=10 rows, offending columns)
     val vioRowIds = rows.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Long]))
@@ -82,12 +92,12 @@ object Main {
       val keep = withIds.columns.filter(c => c == "_row" || vioCols.contains(c))
       withIds.filter(col("_row").isin(vioRowIds: _*))
         .select(keep.map(col): _*).orderBy("_row").show(10, truncate = false)
-      if (rows.length > vioRowIds.length)
-        println(s"... and ${rows.length - vioRowIds.length} more violation rows")
+      if (totalViolations > vioRowIds.length)
+        println(s"... and ${totalViolations - vioRowIds.length} more violation rows")
     }
-    println(s"${rows.length} violations; survivors=" +
+    println(s"$totalViolations violations; survivors=" +
       result.survivors.map(_.count().toString).getOrElse("<aborted>"))
-    rows.nonEmpty
+    totalViolations > 0
   }
 
   private def runTranscripts(spark: SparkSession, opts: Map[String, String]): Boolean = {
@@ -163,7 +173,8 @@ object Main {
 
   private def usage(): Unit = System.err.println(
     """usage:
-      |  graft.cli.Main kye --schema s.kye.json --data table.parquet --model M [--violations out] [--parity]
+      |  graft.cli.Main kye --schema s.kye.json --data table.parquet --model M
+      |                 [--violations out] [--parity] [--row-key col]
       |  graft.cli.Main transcripts --table dir [--conv-keys path] [--checkpoint m.json]
       |                 [--violations out] [--baseline h.json] [--write-baseline h.json]""".stripMargin)
 }

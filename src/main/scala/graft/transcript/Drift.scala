@@ -33,8 +33,11 @@ object Drift {
   /** Kolmogorov–Smirnov statistic over binned counts: max |CDF_b - CDF_c|.
     * Bins are ordered numerically when possible, else lexically. */
   def ks(baseline: Histogram, current: Histogram): Double = {
+    // lexical tie-break keeps categorical (non-numeric) bins deterministic
+    // across runs — an unordered tie at MaxValue would make KS depend on
+    // Map iteration order
     val bins = (baseline.keySet ++ current.keySet).toSeq
-      .sortBy(k => scala.util.Try(k.toDouble).getOrElse(Double.MaxValue))
+      .sortBy(k => (scala.util.Try(k.toDouble).getOrElse(Double.MaxValue), k))
     val bTot = math.max(1L, baseline.values.sum).toDouble
     val cTot = math.max(1L, current.values.sum).toDouble
     var cb = 0.0; var cc = 0.0; var d = 0.0

@@ -111,10 +111,16 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       val rawPreds = applicable.map(a => a -> ExprCompiler.compile(a.expr))
       // null verdict = vacuous pass for violation reporting (see class doc)
       for ((a, p) <- rawPreds) {
+        // a zero-edge (constant) assertion still yields one violation row
+        // per failing row — explode over the empty edge list would silently
+        // swallow it
+        val colOut =
+          if (a.edges.isEmpty) lit(null).cast(StringType).as("col")
+          else explode(array(a.edges.map(lit(_)): _*)).as("col")
         violations += df.filter(!coalesce(p, lit(true))).select(
           lit("AssertionFailed").as("err"), lit(model.name).as("model"),
           col(rowId).cast(LongType).as("row"),
-          explode(array(a.edges.map(lit(_)): _*)).as("col"),
+          colOut,
           lit(a.loc.orNull).cast(StringType).as("loc"),
           lit(a.msg).as("expected"))
       }
@@ -246,7 +252,13 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     }
     if (badKeyParts.nonEmpty) {
       val bad = badKeyParts.reduce(_ union _)
-      violations += keyedRows.join(bad, "_key").select(
+      // null-safe join: a single-column index key is the raw column, and a
+      // group keyed by a NULL index value would never equi-join back to its
+      // member rows (null != null) — its MissingValue violations would be
+      // silently lost (the reference reports them, loader.py:149-169)
+      violations += keyedRows
+        .join(bad, keyedRows("_key") <=> bad("_key"))
+        .select(
         col("err"), lit(model.name).as("model"),
         col(rowId).cast(LongType).as("row"), col("col"), col("loc"),
         lit(null).cast(StringType).as("expected"))
@@ -262,24 +274,39 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       } yield (model.indexes(i), model.indexes(j))
       val affectedKeySets = ListBuffer.empty[DataFrame]
       for ((idx1, idx2) <- pairs) {
-        val sameType = idx1.zip(idx2).forall { case (a, b) =>
-          gdf.schema(a).dataType == gdf.schema(b).dataType }
-        if (sameType) {
-          val p1 = gdf.select(keyStructOver(gdf, idx1).as("_v"), col("_key"))
-          val p2 = gdf.select(keyStructOver(gdf, idx2).as("_v"), col("_key"))
+        // per-position comparison plan: identical physical types compare
+        // raw; numeric/numeric pairs widen to double (a long 1 must
+        // conflict with a double 1.0, like the reference's pandas compare,
+        // loader.py:177-196); anything else is genuinely incomparable
+        val fieldPlans = idx1.zip(idx2).map { case (a, b) =>
+          (gdf.schema(a).dataType, gdf.schema(b).dataType) match {
+            case (ta, tb) if ta == tb => Some((col(a), col(b)))
+            case (_: NumericType, _: NumericType) =>
+              Some((col(a).cast("double"), col(b).cast("double")))
+            case _ => None
+          }
+        }
+        if (fieldPlans.forall(_.isDefined)) {
+          val (cols1, cols2) = fieldPlans.flatten.unzip
+          val p1 = gdf.select(keyCols(cols1).as("_v"), col("_key"))
+          val p2 = gdf.select(keyCols(cols2).as("_v"), col("_key"))
           val t = p1.union(p2)
           val conflicts = t.groupBy("_v").agg(countDistinct(col("_key")).as("_n"))
             .filter(col("_n") > 1).select("_v")
           val affected = t.join(conflicts, "_v").select(col("_key")).distinct()
           affectedKeySets += affected
           val edgesOut = (idx1 ++ idx2).distinct
-          violations += keyedRows.join(affected, "_key").select(
+          violations += keyedRows
+            .join(affected, keyedRows("_key") <=> affected("_key"))
+            .select(
             lit("IndexConflict").as("err"), lit(model.name).as("model"),
             col(rowId).cast(LongType).as("row"),
             explode(array(edgesOut.map(lit(_)): _*)).as("col"),
             lit(model.loc.orNull).cast(StringType).as("loc"),
             lit(null).cast(StringType).as("expected"))
-        }
+        } else
+          System.err.println(s"Warning: index-conflict check skipped for " +
+            s"incomparable key pair (${idx1.mkString(",")}) vs (${idx2.mkString(",")})")
       }
       if (affectedKeySets.nonEmpty) {
         val allAffected = affectedKeySets.reduce(_ union _).distinct()
@@ -391,11 +418,11 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     * single-column keys compare cross-column, reference `hash_columns`
     * `loader.py:17-20`), positional-named struct for composites (collision
     * safe — never string concat). */
-  private def keyStruct(cols: Seq[String]): Column =
-    if (cols.size == 1) col(cols.head)
-    else struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"_$i") }: _*)
+  private def keyStruct(cols: Seq[String]): Column = keyCols(cols.map(col))
 
-  private def keyStructOver(df: DataFrame, cols: Seq[String]): Column = keyStruct(cols)
+  private def keyCols(cols: Seq[Column]): Column =
+    if (cols.size == 1) cols.head
+    else struct(cols.zipWithIndex.map { case (c, i) => c.as(s"_$i") }: _*)
 
   private def unionAll(spark: SparkSession, dfs: List[DataFrame]): DataFrame =
     dfs match {

@@ -1,0 +1,74 @@
+package graft.validate
+
+import graft.SparkSuite
+import graft.schema.CompiledSchema
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Regression tests for the round-1 advisor findings: NULL-keyed S6 groups
+  * must still report their violation rows (null-safe join-back), S7 must
+  * compare numerically-equal alternate keys across physical types, and a
+  * zero-edge (constant) assertion must emit violation rows.
+  */
+class ValidatorEdgeCaseSpec extends SparkSuite {
+
+  private def df(schema: StructType, rows: Seq[Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+  test("S6: NULL single-column index group reports MissingValue rows") {
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"index": "id", "edges": {
+        |  "id": {"type": "Number"}, "v": {"type": "String"}}}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("id", DoubleType), StructField("v", StringType),
+        StructField("_row", LongType, nullable = false))),
+      Seq(Row(1.0, "a", 0L), Row(null, "x", 1L), Row(null, "y", 2L)))
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val missing = result.violations
+      .filter("err = 'MissingValue' AND col = 'id'")
+      .collect().map(_.getAs[Long]("row")).toSet
+    assert(missing === Set(1L, 2L), "NULL-index rows must carry MissingValue")
+    // the group itself is still excluded from survivors
+    assert(result.survivors.get.count() === 1)
+  }
+
+  test("S7: long vs double alternate keys conflict on 2 == 2.0") {
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"indexes": ["k1", "k2"], "edges": {
+        |  "k1": {"type": "Number"}, "k2": {"type": "Number"}}}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("k1", LongType), StructField("k2", DoubleType),
+        StructField("_row", LongType, nullable = false))),
+      // entity A: k1=1, k2=2.0; entity B: k1=2, k2=3.0 — A's k2 value 2.0
+      // equals B's k1 value 2 numerically but not physically
+      Seq(Row(1L, 2.0, 0L), Row(2L, 3.0, 1L)))
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val conflicted = result.violations
+      .filter("err = 'IndexConflict'")
+      .collect().map(_.getAs[Long]("row")).toSet
+    assert(conflicted === Set(0L, 1L),
+      "numeric widening must detect 2 == 2.0 across alternate keys")
+    assert(result.survivors.get.count() === 0)
+  }
+
+  test("S4: zero-edge constant assertion emits violation rows with null col") {
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"index": "id",
+        |  "edges": {"id": {"type": "Number"}},
+        |  "assertions": [{"msg": "constant false", "expr": [{"val": false}]}]}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("id", DoubleType), StructField("_row", LongType, nullable = false))),
+      Seq(Row(1.0, 0L), Row(2.0, 1L)))
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val vios = result.violations.filter("err = 'AssertionFailed'").collect()
+    assert(vios.length === 2, "every row fails the constant-false assertion")
+    assert(vios.forall(_.isNullAt(3)), "zero-edge assertion anchors col=null")
+    assert(result.survivors.get.count() === 0)
+  }
+}
