@@ -276,12 +276,18 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashNearDuplicates(docsWithDups(s, dir), "doc_id", "text", maxHamming = 3)),
 
-    // == dedup: embedding-cosine near-dup (hash buckets; rows-only check) ==
+    // == dedup: embedding-cosine near-dup. Full oracle: at threshold 0.999
+    // the only true near-dup pairs are the injected exact copies (top-1
+    // natural cosine in this corpus is ~0.37), identical vectors always
+    // share their hyperplane bucket, and the exact-cosine verify removes
+    // any other candidate — so the output is deterministic regardless of
+    // the hash family. ==
     "q_dedup_embedding" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val withDups = e.union(
         e.filter(col("vec_id") % 13 === 0).withColumn("vec_id", col("vec_id") + 10000000L))
       Dedup.embeddingNearDuplicates(withDups, "vec_id", "embedding", threshold = 0.999)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 
     // == similarity: exact brute-force cosine top-k ==
@@ -293,13 +299,19 @@ object SparkEntry {
         .select(col("query_id"), col("item_id"), col("rank"))
     }),
 
-    // == similarity: LSH-bucketed approximate top-k (rows-only check) ==
+    // == similarity: LSH-bucketed approximate top-k. Oracle via the
+    // self-recall invariant: each query vector IS an item vector, so the
+    // exact re-rank must place it at rank 1 independent of the hash
+    // family (identical vectors always share every bucket). The full
+    // top-k recall-vs-brute-force property is covered on clustered data
+    // in SimilarityTextSpec. ==
     "q_ann_lsh" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.lshTopK(e, "vec_id", "embedding", queries, "query_id", "qvec",
-        k = 5, planes = 4, tables = 8)
+        k = 5, planes = 16, tables = 8)
+        .filter(col("rank") === 1)
         .select(col("query_id"), col("item_id"), col("rank"))
     }),
 
@@ -311,13 +323,15 @@ object SparkEntry {
         length(col("text")).as("n_chars"),
         coalesce(regexp_count(col("text"), lit("[^\\s\\p{L}\\p{N}]")), lit(0)).as("n_punct"))),
 
-    // == text analysis: language id distribution (heuristic; rows-only) ==
+    // == text analysis: language id distribution (deterministic stopword
+    // argmax, integer-exact threshold — full DuckDB oracle) ==
     "q_lang_counts" -> ((s, dir) =>
       documents(s, dir)
         .groupBy(TextAnalysis.langId(col("text")).as("lang_detected"))
         .agg(count(lit(1)).as("n"))),
 
-    // == text analysis: quality score deciles (heuristic; rows-only) ==
+    // == text analysis: quality score deciles (deterministic C4/Gopher-
+    // style arithmetic — full DuckDB oracle) ==
     "q_quality_buckets" -> ((s, dir) =>
       documents(s, dir)
         .groupBy(floor(TextAnalysis.qualityScore(col("text")) * 10).as("decile"))
@@ -333,6 +347,17 @@ object SparkEntry {
   )
 
   // ---------- oracles -----------------------------------------------------------
+
+  /** DuckDB list literal of a language's stopwords (single source of truth:
+    * [[TextAnalysis.stopwords]]). */
+  private def swList(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Tokens CTE fragment: identical semantics to the native tokenizer
+    * (lower-cased maximal letter/digit runs; the corpus is ASCII, so
+    * `[a-z0-9]` ≡ `\p{L}\p{N}` here). */
+  private val toksExpr =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
   def oracleSql: Map[String, String] = Map(
     "q_expr_opcodes" ->
@@ -467,9 +492,81 @@ object SparkEntry {
         | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens,
         | CAST(length(text) AS INTEGER) AS n_chars,
         | CAST(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS INTEGER) AS n_punct
-        |FROM documents""".stripMargin
-    // hash-based ops (q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
-    // q_ann_lsh, q_lang_counts, q_quality_buckets, q_fingerprint_groups,
-    // q_ann_topk) are engine-hash-dependent -> rows-only checks
+        |FROM documents""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 3),
+        | i AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        | s AS (SELECT query_id, item_id, list_cosine_similarity(iv, qv) AS score
+        |       FROM i CROSS JOIN q),
+        | r AS (SELECT query_id, item_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY score DESC, item_id) AS INTEGER) AS rank
+        |       FROM s)
+        |SELECT query_id, item_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // self-recall invariant: identical query/item vectors must re-rank to
+    // the top regardless of the LSH hash family (see the query comment)
+    "q_ann_lsh" ->
+      """SELECT vec_id AS query_id, vec_id AS item_id, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    // only the injected exact copies clear threshold 0.999 in this corpus
+    // (natural top-1 cosine ~0.37), and identical vectors always collide
+    "q_dedup_embedding" ->
+      """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 13 = 0""".stripMargin,
+    "q_lang_counts" ->
+      s"""WITH t AS (SELECT $toksExpr AS toks FROM documents),
+         | c AS (SELECT len(toks) AS n,
+         |   len(list_filter(toks, x -> list_contains(${swList("de")}, x))) AS c_de,
+         |   len(list_filter(toks, x -> list_contains(${swList("en")}, x))) AS c_en,
+         |   len(list_filter(toks, x -> list_contains(${swList("es")}, x))) AS c_es,
+         |   len(list_filter(toks, x -> list_contains(${swList("fr")}, x))) AS c_fr,
+         |   len(list_filter(toks, x -> list_contains(${swList("it")}, x))) AS c_it
+         |  FROM t),
+         | b AS (SELECT n, greatest(c_de*8+0, c_en*8+1, c_es*8+2, c_fr*8+3, c_it*8+4) AS bv
+         |       FROM c)
+         |SELECT CASE WHEN n > 0 AND 20 * (bv // 8) > n
+         |            THEN ['de','en','es','fr','it'][CAST(bv % 8 AS INTEGER) + 1]
+         |            ELSE 'und' END AS lang_detected,
+         |       count(*) AS n
+         |FROM b GROUP BY 1""".stripMargin,
+    "q_quality_buckets" ->
+      s"""WITH p AS (SELECT length(text) AS len,
+         |    len(regexp_extract_all(text, '[^\\s\\p{L}\\p{N}]')) AS n_punct,
+         |    $toksExpr AS toks
+         |  FROM documents),
+         | c AS (SELECT len, n_punct, len(toks) AS n,
+         |    len(list_filter(toks, x -> list_contains(${swList("en")}, x))) AS sw,
+         |    coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS lensum
+         |  FROM p),
+         | s AS (SELECT
+         |    CAST(CASE WHEN len < 20 THEN 0.0 WHEN len < 200 THEN 0.5
+         |              WHEN len <= 20000 THEN 1.0 ELSE 0.5 END AS DOUBLE) AS len_score,
+         |    CAST(CASE WHEN len > 0 AND n_punct * 1.0 / len > 0.2
+         |              THEN 0.3 ELSE 1.0 END AS DOUBLE) AS punct_score,
+         |    CAST(CASE WHEN n > 0 AND 20 * sw >= n THEN 1.0 ELSE 0.4 END AS DOUBLE) AS sw_score,
+         |    CAST(CASE WHEN n > 0 AND lensum * 1.0 / n >= 2.5 AND lensum * 1.0 / n <= 12.0
+         |              THEN 1.0 ELSE 0.5 END AS DOUBLE) AS word_score
+         |  FROM c)
+         |SELECT CAST(floor((len_score * 0.4 + punct_score * 0.2 + sw_score * 0.2
+         |                   + word_score * 0.2) * 10) AS BIGINT) AS decile,
+         |       count(*) AS n
+         |FROM s GROUP BY 1""".stripMargin,
+    // the fingerprint is xxhash64 of the normalized text, but group
+    // membership depends only on normalized-text equality — so the groups
+    // (keep_id, n) are hash-independent and fully oracle-able
+    "q_fingerprint_groups" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 17 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n
+        |FROM d GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+        |HAVING count(*) > 1""".stripMargin
+    // q_dedup_minhash / q_dedup_simhash remain rows-only: their outputs
+    // include hash-family-dependent members (natural near-dup pairs whose
+    // est_jaccard / hamming depend on the engine's hash). Both are
+    // property-tested instead (injected-duplicate recall + estimate-vs-
+    // exact bounds) in DedupSpec.
   )
 }

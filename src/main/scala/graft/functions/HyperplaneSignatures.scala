@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Random-hyperplane sign signatures for `tables` independent LSH hash
+  * tables as ONE native Catalyst expression: one pass over the vector
+  * computes all `tables x planes` projections in a tight JVM loop.
+  *
+  * The pure-Catalyst formulation
+  * ([[graft.ops.Similarity.hyperplaneSignature]], round 1) evaluated
+  * `tables x planes` interpreted `aggregate(zip_with(...))` lambda trees
+  * per row — with an xxhash64 call per (plane, element) — because
+  * higher-order functions don't participate in whole-stage codegen. Same
+  * lesson as [[ShingleMinHash]]: those two queries were the slowest in the
+  * round-1 bench (8.3 s + 6.9 s at sf0.1).
+  *
+  * Plane components are deterministic pseudo-random values in [-1, 1)
+  * derived from a splitmix64 mix of (planeId, dim) — the plane family is
+  * fixed by construction, so signatures are reproducible across runs,
+  * sessions, and cluster sizes (required for incremental dedup at scale).
+  */
+case class HyperplaneSignatures(child: Expression, planes: Int, tables: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(planes >= 1 && planes <= 48, "planes must be in [1, 48] (table id packs above bit 48)")
+  require(tables >= 1 && tables <= 128)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private lazy val toDoubles: ArrayData => Array[Double] = child.dataType match {
+    case ArrayType(FloatType, _) => (a: ArrayData) => {
+      val f = a.toFloatArray()
+      val d = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { d(i) = f(i); i += 1 }
+      d
+    }
+    case ArrayType(DoubleType, _) => _.toDoubleArray()
+    case other =>
+      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HyperplaneSignatures.signatures(toDoubles(input.asInstanceOf[ArrayData]), planes, tables))
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
+    copy(child = newChild)
+}
+
+object HyperplaneSignatures {
+  private final val GOLDEN = 0x9e3779b97f4a7c15L
+  private final val PRIME2 = 0xc2b2ae3d27d4eb4fL
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic component of hyperplane `plane` at dimension `dim`,
+    * roughly uniform in [-1, 1). */
+  @inline def component(plane: Int, dim: Int): Double =
+    (mix(plane.toLong * GOLDEN + dim.toLong * PRIME2) >>> 11) * (2.0 / (1L << 53)) - 1.0
+
+  /** `tables` packed sign signatures; table t uses planes
+    * [t*planes, (t+1)*planes). */
+  def signatures(v: Array[Double], planes: Int, tables: Int): Array[Long] = {
+    val nPlanes = planes * tables
+    val proj = new Array[Double](nPlanes)
+    var i = 0
+    while (i < v.length) {
+      val vi = v(i)
+      if (vi != 0.0) {
+        var p = 0
+        while (p < nPlanes) { proj(p) += vi * component(p, i); p += 1 }
+      }
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      val base = t * planes
+      var b = 0
+      while (b < planes) { if (proj(base + b) > 0) sig |= (1L << b); b += 1 }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
+  /** Column API: array of `tables` signature longs. */
+  def hyperplane_signatures(c: Column, planes: Int, tables: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      HyperplaneSignatures(org.apache.spark.sql.GraftExpressionBridge.expression(c), planes, tables))
+}

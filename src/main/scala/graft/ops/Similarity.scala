@@ -19,22 +19,13 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * maps a hash to roughly-uniform [-1, 1]. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim, lit("plane")), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-
   /** Sign-bit signature of `planes` random hyperplanes, packed into a
     * long — buckets for approximate cosine search (SimHash for vectors).
-    * Plane loop unrolled at plan-build time. */
+    * Delegates to the native single-pass expression
+    * ([[graft.functions.HyperplaneSignatures]]); the round-1 HOF
+    * formulation evaluated planes x dim interpreted lambdas per row. */
   def hyperplaneSignature(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v * planeComponent(lit(p), i)),
-        lit(0.0d), (a, v) => a + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    get(graft.functions.HyperplaneSignatures.hyperplane_signatures(vec, planes, 1), lit(0))
 
   /** Exact brute-force top-k: every (query, item) cosine, keep k best per
     * query. Queries are broadcast (small side); items stream once. This is
@@ -51,35 +42,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Signature for hash table `t` — planes are disjoint per table. */
-  def hyperplaneSignatureTable(vec: Column, planes: Int, table: Int): Column =
-    (0 until planes).map { p =>
-      val planeId = table * planes + p
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v * planeComponent(lit(planeId), i)),
-        lit(0.0d), (a, v) => a + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
   /** LSH-bucketed approximate top-k: items and queries bucketed by
     * hyperplane signatures in `tables` independent hash tables (the
     * standard recall lever), exact cosine re-rank within candidate
     * buckets; `probeBits=1` additionally probes all single-bit-flip
-    * neighbor buckets (multiprobe). */
+    * neighbor buckets (multiprobe). All `tables x planes` projections come
+    * from ONE native expression pass per row
+    * ([[graft.functions.HyperplaneSignatures]]).
+    *
+    * planes defaults to 16 (2^16 buckets per table): round 1 shipped 4 —
+    * 16 buckets per table means every bucket holds n/16 of the corpus,
+    * which is brute force with extra shuffles at scale. Recall lost to
+    * narrower buckets is recovered by `tables` and multiprobe.
+    *
+    * @param maxBucketSize hot-bucket candidate cap: buckets larger than
+    *   this are deterministically hash-sampled down to ~maxBucketSize
+    *   items (a skew guard — candidate cost is bounded by
+    *   queries x maxBucketSize instead of queries x bucket). */
   def lshTopK(items: DataFrame, itemId: String, itemVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, planes: Int = 10, tables: Int = 4, probeBits: Int = 1): DataFrame = {
-    def buckets(df: DataFrame, vecCol: String): Column =
-      // (table_id, signature) pairs packed: table in high bits
-      array((0 until tables).map(t =>
-        hyperplaneSignatureTable(col(vecCol), planes, t)
-          .bitwiseOR(lit(t.toLong << 56))): _*)
-    val itemsB = items
+              k: Int, planes: Int = 16, tables: Int = 8, probeBits: Int = 1,
+              maxBucketSize: Int = 10000): DataFrame = {
+    // (table_id, signature) packed into one long: table in high bits
+    def buckets(vecCol: String): Column =
+      transform(
+        graft.functions.HyperplaneSignatures.hyperplane_signatures(col(vecCol), planes, tables),
+        (s, t) => s.bitwiseOR(shiftleft(t.cast("long"), 56)))
+    val itemsB0 = items
       .select(col(itemId).as("item_id"), col(itemVec).as("_iv"),
-        explode(buckets(items, itemVec)).as("_bucket"))
+        explode(buckets(itemVec)).as("_bucket"))
+    val bucketSizes = itemsB0.groupBy(col("_bucket")).agg(count(lit(1)).as("_bn"))
+    val itemsB = itemsB0.join(bucketSizes, "_bucket")
+      .filter(col("_bn") <= maxBucketSize ||
+        pmod(xxhash64(col("item_id"), col("_bucket")), col("_bn")) < maxBucketSize)
+      .drop("_bn")
     val q0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"),
-      buckets(queries, queryVec).as("_qbs"))
+      buckets(queryVec).as("_qbs"))
     // multiprobe: per table, original bucket + optional 1-bit flips
     val probes =
       if (probeBits <= 0) q0.select(col("query_id"), col("_qv"), explode(col("_qbs")).as("_bucket"))

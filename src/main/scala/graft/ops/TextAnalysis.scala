@@ -38,7 +38,9 @@ object TextAnalysis {
     "it" -> Seq("il", "la", "che", "di", "e", "un", "una", "per", "non", "sono", "con", "del"))
 
   /** Stopword-hit score for one language: fraction of tokens found in the
-    * language's stopword profile. */
+    * language's stopword profile. HOF formulation — fine for one-off use;
+    * the hot paths ([[langId]], [[qualityScore]]) use the single-pass
+    * native expressions in [[graft.functions.TextProfile]] instead. */
   def langScore(text: Column, lang: String): Column = {
     val toks = Dedup.tokens(text)
     val sw = lit(stopwords(lang).toArray)
@@ -47,13 +49,11 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
-  /** Heuristic language id: argmax stopword score, "und" (undetermined)
-    * when every score is ~0. */
-  def langId(text: Column, langs: Seq[String] = stopwords.keys.toSeq.sorted): Column = {
-    val scored = langs.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
-    val best = array_max(array(scored: _*))
-    when(best.getField("s") > 0.05, best.getField("l")).otherwise(lit("und"))
-  }
+  /** Heuristic language id: argmax stopword-hit count over all language
+    * profiles, "und" (undetermined) unless best_count/n_tokens > 0.05.
+    * Native single-pass expression — the round-1 HOF formulation
+    * re-tokenized the text once per language (5x). */
+  def langId(text: Column): Column = graft.functions.LangId.lang_id(text)
 
   // ---- quality scoring -----------------------------------------------------------
 
@@ -78,17 +78,10 @@ object TextAnalysis {
 
   /** Composite [0,1] quality score: length in a sane band, moderate
     * punctuation, non-trivial stopword share, word lengths in natural
-    * range. The standard C4/Gopher-style heuristic family. */
-  def qualityScore(text: Column): Column = {
-    val len = length(text)
-    val lenScore = when(len.isNull || len < 20, 0.0)
-      .when(len < 200, 0.5).when(len <= 20000, 1.0).otherwise(0.5)
-    val punctScore = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.3)
-    val swScore = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.4)
-    val mwl = meanWordLength(text)
-    val wordScore = when(mwl >= 2.5 && mwl <= 12.0, 1.0).otherwise(0.5)
-    (lenScore * 0.4 + punctScore * 0.2 + swScore * 0.2 + wordScore * 0.2).cast("double")
-  }
+    * range. The standard C4/Gopher-style heuristic family. Native
+    * single-pass expression (one tokenize loop instead of three HOF
+    * passes); formula in [[graft.functions.TextProfile.qualityScore]]. */
+  def qualityScore(text: Column): Column = graft.functions.QualityScore.quality_score(text)
 
   // ---- fingerprinting --------------------------------------------------------------
 

@@ -54,6 +54,22 @@ class SimilarityTextSpec extends SparkSuite {
     emb.unpersist()
   }
 
+  test("LSH top-k at scale defaults (planes=16): near-duplicate queries recalled") {
+    // the scale configuration (2^16 buckets/table) can't recall random-noise
+    // neighbors (no LSH can), but real corpora are clustered: queries that
+    // are small perturbations of items must come back at rank 1
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x * lit(1.01f) + lit(0.002f)).as("qvec"))
+    val top1 = Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id")))
+    val recalled = top1.count { case (q, i) => q == i }
+    assert(recalled >= 18, s"perturbed-self recall $recalled/20 below 0.9")
+    emb.unpersist()
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val df = Seq(("Hello, world! This is tokenization."),
       (""), ("supercalifragilisticexpialidocious")).toDF("text")
