@@ -130,23 +130,31 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), n).as("_sh"))
-    val sizes = sh.select(col("doc_id"), size(col("_sh")).as("_sz"))
-    val inv = sh.select(col("doc_id"), explode(col("_sh")).as("shingle"))
-    // doc-freq prune via hash aggregate + join — NOT a window, which would
-    // sort-shuffle the entire inverted index (round-1 verdict item 5). The
-    // join keys match the aggregate's partitioning, so no extra exchange.
+    // ONE tokenize+explode pass, ONE shuffle: the inverted index is
+    // explicitly hash-partitioned on shingle, and that single exchange is
+    // reused by (a) the doc-freq count, (b) the prune join, and (c) both
+    // sides of the self-join — Spark's ReuseExchange needs the explicit
+    // boundary; without it each consumer re-runs the expensive shingle
+    // Generate. Doc sizes ride along in the index rows (+1 long per row)
+    // so no second tokenize scan or per-side size join is needed.
+    // Doc-freq prune is a hash aggregate + colocated join — NOT a window,
+    // which would additionally SORT the entire inverted index.
+    val inv = df
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("_sh"))
+      .select(col("doc_id"), size(col("_sh")).as("_sz"), explode(col("_sh")).as("shingle"))
+      .repartition(col("shingle"))
     val rare = inv.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDocFreq).select("shingle")
-    val pruned = inv.join(rare, "shingle")
+    // shuffle-hash hint: both sides are already partitioned on shingle, so
+    // the join is exchange-free; a broadcast of `rare` (all distinct rare
+    // shingles — huge at web scale) must never be the plan
+    val pruned = inv.join(rare.hint("shuffle_hash"), "shingle")
     val inter = pruned.as("x").join(pruned.as("y"), "shingle")
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("_inter"))
+      .agg(count(lit(1)).as("_inter"),
+        min(col("x._sz")).as("_sza"), min(col("y._sz")).as("_szb"))
     inter
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "_sz" -> "_sza")), "doc_a")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "_sz" -> "_szb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("_inter").cast("double") /
           (col("_sza") + col("_szb") - col("_inter"))).as("jaccard"))
