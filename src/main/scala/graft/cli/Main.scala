@@ -52,11 +52,32 @@ object Main {
     val text = Files.readString(Paths.get(schemaPath))
     // E1 path: `.kye` source compiles through the DSL front-end; E2 path:
     // precompiled JSON/YAML artifacts load directly (kyepy kye.py:60-63)
+    // the pure compile result (no native-type merge) is what --compile
+    // writes, mirroring the reference (kye.py:100-113 writes self.compiled;
+    // the loader merges native types separately, loader.py:30)
+    val compiledOnly =
+      if (schemaPath.endsWith(".kye")) graft.parse.KyeParser.compile(text)
+      else if (schemaPath.endsWith(".yaml") || schemaPath.endsWith(".yml"))
+        CompiledSchema.fromYaml(text) // normalize precompiled input too
+      else CompiledSchema.fromJson(text)
     val schema =
       if (schemaPath.endsWith(".kye"))
-        CompiledSchema.nativeTypes.merge(graft.parse.KyeParser.compile(text))
+        CompiledSchema.nativeTypes.merge(compiledOnly)
       else CompiledSchema.load(text,
         yaml = schemaPath.endsWith(".yaml") || schemaPath.endsWith(".yml"))
+    // --compile out.(json|yaml|yml): write the compiled artifact
+    // (kye/cli.py:75-76 `-c`); compile-only runs need no --model/--data
+    opts.get("compile").foreach { out =>
+      val artifact =
+        if (out.endsWith(".yaml") || out.endsWith(".yml")) compiledOnly.toYaml
+        else compiledOnly.toJson
+      Files.writeString(Paths.get(out), artifact)
+      println(s"wrote compiled artifact $out")
+    }
+    if (!opts.contains("model")) {
+      require(opts.contains("compile"), "kye mode needs --model (or --compile for compile-only)")
+      return false
+    }
     val model = opts("model")
     val data = readAny(spark, opts("data"))
     // --row-key <col>: anchor violations on a natural key column (stays
@@ -173,8 +194,8 @@ object Main {
 
   private def usage(): Unit = System.err.println(
     """usage:
-      |  graft.cli.Main kye --schema s.kye.json --data table.parquet --model M
-      |                 [--violations out] [--parity] [--row-key col]
+      |  graft.cli.Main kye --schema s.kye[.json|.yaml] [--data table.parquet --model M]
+      |                 [--violations out] [--parity] [--row-key col] [--compile out.json]
       |  graft.cli.Main transcripts --table dir [--conv-keys path] [--checkpoint m.json]
       |                 [--violations out] [--baseline h.json] [--write-baseline h.json]""".stripMargin)
 }

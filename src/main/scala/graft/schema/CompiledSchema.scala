@@ -83,6 +83,14 @@ final case class CompiledSchema(types: Map[String, TypeSpec], models: Map[String
   /** Right-biased merge (`compiled.py:320-324`). */
   def merge(other: CompiledSchema): CompiledSchema =
     CompiledSchema(types ++ other.types, models ++ other.models)
+
+  /** Serialize to the reference artifact JSON shape (`compiled.py:295-307`
+    * `to_dict` + `kye.py:100-113` `write_compiled`): models first, types
+    * only when non-empty, 2-space indent. */
+  def toJson: String = CompiledSchema.write(this, yaml = false)
+
+  /** Same artifact as YAML. */
+  def toYaml: String = CompiledSchema.write(this, yaml = true)
 }
 
 object CompiledSchema {
@@ -221,4 +229,117 @@ object CompiledSchema {
     else if (n.isIntegralNumber) n.asLong()
     else if (n.isNumber) n.asDouble()
     else throw new IllegalArgumentException(s"Unsupported literal: $n")
+
+  // ---- serialization (compiled.py to_dict parity) ---------------------------
+
+  import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+  private def write(schema: CompiledSchema, yaml: Boolean): String = {
+    val root = jsonMapper.createObjectNode()
+    val modelsNode = root.putObject("models")
+    for ((name, m) <- schema.models.toSeq.sortBy(_._1)) modelsNode.set[ObjectNode](name, modelNode(m))
+    if (schema.types.nonEmpty) {
+      val typesNode = root.putObject("types")
+      for ((name, t) <- schema.types.toSeq.sortBy(_._1)) typesNode.set[ObjectNode](name, typeNode(t))
+    }
+    if (yaml) yamlMapper.writeValueAsString(root)
+    else jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def putScalar(node: ObjectNode, field: String, v: Any): Unit = v match {
+    case s: String  => node.put(field, s)
+    case b: Boolean => node.put(field, b)
+    case l: Long    => node.put(field, l)
+    case i: Int     => node.put(field, i)
+    case d: Double  => node.put(field, d)
+    case other => throw new IllegalArgumentException(s"Unsupported literal: $other")
+  }
+
+  private def addScalar(node: ArrayNode, v: Any): Unit = v match {
+    case s: String  => node.add(s)
+    case b: Boolean => node.add(b)
+    case l: Long    => node.add(l)
+    case i: Int     => node.add(i)
+    case d: Double  => node.add(d)
+    case other => throw new IllegalArgumentException(s"Unsupported literal: $other")
+  }
+
+  /** `{"op": arg}` with a single arg unwrapped, `{"op": [args]}` otherwise
+    * (`compiled.py:18-23`). */
+  private def cmdNode(cmd: Cmd): ObjectNode = {
+    val node = jsonMapper.createObjectNode()
+    cmd.args match {
+      case List(single) => putScalar(node, cmd.op.opName, single)
+      case args =>
+        val arr = node.putArray(cmd.op.opName)
+        args.foreach(addScalar(arr, _))
+    }
+    node
+  }
+
+  private def exprNode(expr: List[Cmd]): ArrayNode = {
+    val arr = jsonMapper.createArrayNode()
+    expr.foreach(c => arr.add(cmdNode(c)))
+    arr
+  }
+
+  private def assertionNode(a: Assertion): ObjectNode = {
+    val node = jsonMapper.createObjectNode()
+    node.put("msg", a.msg)
+    node.set[ObjectNode]("expr", exprNode(a.expr))
+    a.loc.foreach(node.put("loc", _))
+    node
+  }
+
+  private def edgeNode(e: Edge): ObjectNode = {
+    val node = jsonMapper.createObjectNode()
+    node.put("type", e.tpe)
+    e.title.foreach(node.put("title", _))
+    e.expr.filter(_.nonEmpty).foreach(x => node.set[ObjectNode]("expr", exprNode(x)))
+    if (e.many) node.put("many", true)
+    if (e.none) node.put("none", true)
+    e.loc.foreach(node.put("loc", _))
+    node
+  }
+
+  private def modelNode(m: Model): ObjectNode = {
+    val node = jsonMapper.createObjectNode()
+    // one index -> singular `index`; several -> `indexes`; single-edge
+    // entries collapse to bare strings (compiled.py:224-241)
+    def idxValue(idx: List[String], into: ArrayNode): Unit =
+      if (idx.size == 1) into.add(idx.head)
+      else { val a = into.addArray(); idx.foreach(a.add) }
+    if (m.indexes.size == 1) {
+      if (m.indexes.head.size == 1) node.put("index", m.indexes.head.head)
+      else { val a = node.putArray("index"); m.indexes.head.foreach(a.add) }
+    } else if (m.indexes.nonEmpty) {
+      val arr = node.putArray("indexes")
+      m.indexes.foreach(idxValue(_, arr))
+    }
+    val edges = node.putObject("edges")
+    for ((en, e) <- m.edges.toSeq.sortBy(_._1)) edges.set[ObjectNode](en, edgeNode(e))
+    if (m.assertions.nonEmpty) {
+      val arr = node.putArray("assertions")
+      m.assertions.foreach(a => arr.add(assertionNode(a)))
+    }
+    m.loc.foreach(node.put("loc", _))
+    node
+  }
+
+  private def typeNode(t: TypeSpec): ObjectNode = {
+    val node = jsonMapper.createObjectNode()
+    t.parent.foreach(node.put("parent", _))
+    t.format.foreach(node.put("format", _))
+    t.conditions.filter(_.nonEmpty).foreach(c => node.set[ObjectNode]("conditions", exprNode(c)))
+    if (t.edges.nonEmpty) {
+      val edges = node.putObject("edges")
+      for ((en, e) <- t.edges.toSeq.sortBy(_._1)) edges.set[ObjectNode](en, edgeNode(e))
+    }
+    if (t.assertions.nonEmpty) {
+      val arr = node.putArray("assertions")
+      t.assertions.foreach(a => arr.add(assertionNode(a)))
+    }
+    t.loc.foreach(node.put("loc", _))
+    node
+  }
 }

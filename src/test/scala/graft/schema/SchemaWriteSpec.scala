@@ -1,0 +1,72 @@
+package graft.schema
+
+import graft.SparkSuite
+import scala.jdk.CollectionConverters._
+
+/** Artifact write-out parity (`compiled.py:278-324` `to_dict` +
+  * `kye.py:100-113` `write_compiled`): every corpus fixture artifact must
+  * survive load -> write -> re-load with full structural equality, in both
+  * JSON and YAML, and the written JSON must use the reference's collapsed
+  * forms (singular `index`, bare-string single-edge keys, single-arg
+  * command unwrapping).
+  */
+class SchemaWriteSpec extends SparkSuite {
+
+  private def corpusArtifacts: Seq[(String, String)] = {
+    val dir = new java.io.File(getClass.getResource("/corpus").toURI)
+    dir.listFiles().filter(_.getName.endsWith(".kye.json")).toSeq.map { f =>
+      f.getName -> java.nio.file.Files.readString(f.toPath)
+    }
+  }
+
+  test("every corpus artifact round-trips through toJson and toYaml") {
+    val artifacts = corpusArtifacts
+    assert(artifacts.nonEmpty)
+    for ((name, text) <- artifacts) {
+      val original = CompiledSchema.fromJson(text)
+      val viaJson = CompiledSchema.fromJson(original.toJson)
+      assert(viaJson === original, s"$name: JSON round-trip drifted")
+      val viaYaml = CompiledSchema.fromYaml(original.toYaml)
+      assert(viaYaml === original, s"$name: YAML round-trip drifted")
+    }
+  }
+
+  test("native types and compiled .kye artifacts round-trip too") {
+    val native = CompiledSchema.nativeTypes
+    assert(CompiledSchema.fromJson(native.toJson) === native)
+    val schema = graft.parse.KyeParser.compile(
+      """User {
+        |  id: Number
+        |  name: String
+        |}""".stripMargin)
+    assert(CompiledSchema.fromJson(schema.toJson) === schema)
+  }
+
+  test("written JSON uses the reference collapsed forms") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val single = CompiledSchema.fromJson(
+      """{"models": {"M": {"index": "id", "edges": {
+        |  "id": {"type": "Number"},
+        |  "v": {"type": "String", "expr": [{"col": "v"}, {"len": null}], "many": true}}}}}""".stripMargin)
+    val node = mapper.readTree(single.toJson)
+    val m = node.get("models").get("M")
+    assert(m.get("index").isTextual && m.get("index").asText() == "id",
+      "one single-edge index collapses to a bare string under `index`")
+    assert(!m.has("indexes"))
+    val expr = m.get("edges").get("v").get("expr")
+    assert(expr.get(0).get("col").isTextual, "single command arg unwraps from the array")
+    assert(m.get("edges").get("v").get("many").asBoolean())
+    assert(!m.get("edges").get("id").has("many") && !m.get("edges").get("id").has("none"),
+      "false cardinality flags are omitted")
+    assert(!node.has("types"), "empty types map omitted")
+
+    val multi = CompiledSchema.fromJson(
+      """{"models": {"M": {"indexes": ["a", ["b", "c"]], "edges": {
+        |  "a": {"type": "Number"}, "b": {"type": "Number"}, "c": {"type": "Number"}}}}}""".stripMargin)
+    val mm = mapper.readTree(multi.toJson).get("models").get("M")
+    assert(!mm.has("index") && mm.has("indexes"))
+    val idxs = mm.get("indexes").elements().asScala.toList
+    assert(idxs.head.isTextual && idxs.head.asText() == "a")
+    assert(idxs(1).isArray && idxs(1).size() == 2)
+  }
+}
