@@ -56,7 +56,17 @@ object Main {
     // writes, mirroring the reference (kye.py:100-113 writes self.compiled;
     // the loader merges native types separately, loader.py:30)
     val compiledOnly =
-      if (schemaPath.endsWith(".kye")) graft.parse.KyeParser.compile(text)
+      if (schemaPath.endsWith(".kye"))
+        // multi-error compile: print every source-highlighted error and
+        // exit 65, like the reference reporter (compilation_errors.py:64-67
+        // + cli.py:67-70)
+        try graft.parse.KyeParser.compile(text)
+        catch {
+          case e: graft.parse.KyeParser.CompileException =>
+            System.err.println(e.rendered)
+            System.err.println(s"${e.errors.length} compile error(s)")
+            sys.exit(65)
+        }
       else if (schemaPath.endsWith(".yaml") || schemaPath.endsWith(".yml"))
         CompiledSchema.fromYaml(text) // normalize precompiled input too
       else CompiledSchema.fromJson(text)

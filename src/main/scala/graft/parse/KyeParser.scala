@@ -19,32 +19,93 @@ import graft.schema._
   */
 object KyeParser {
 
+  /** Character-span location: 1-based line plus [start, end) offsets into
+    * the source (the reference tracks token positions the same way,
+    * `compilation_errors.py:12-27`). */
+  final case class Loc(line: Int, start: Int, end: Int)
+
   final case class ParseError(message: String, line: Int)
     extends RuntimeException(s"line $line: $message")
 
-  def compile(source: String): CompiledSchema = {
-    val stmts = new Parser(Lexer.tokenize(source)).parseStatements()
-    Builder.build(Desugar.run(stmts))
+  /** One collected compile error. */
+  final case class CompileError(msg: String, loc: Loc)
+
+  /** All errors from one compile, message pre-rendered with
+    * source-highlighted spans (parity with the reference's
+    * `CompilationErrorReporter.report`, `compilation_errors.py:24-67`). */
+  final case class CompileException(errors: List[CompileError], rendered: String)
+    extends RuntimeException(rendered)
+
+  /** Reference `highlight()` format:
+    * {{{
+    * Error: <msg>
+    *  <line> | <source line>
+    *           ^^^^
+    * }}} */
+  def renderErrors(source: String, errors: Seq[CompileError]): String =
+    errors.map { e =>
+      val start = math.min(math.max(e.loc.start, 0), math.max(source.length - 1, 0))
+      val lineStart = source.lastIndexOf('\n', math.max(start - 1, 0)) + 1
+      val lineEnd0 = source.indexOf('\n', lineStart)
+      val lineEnd = if (lineEnd0 == -1) source.length else lineEnd0
+      val prefix = s" ${e.loc.line} | "
+      val errLen = math.max(math.min(e.loc.end - start, lineEnd - start), 1)
+      s"Error: ${e.msg}\n" +
+        prefix + source.substring(lineStart, lineEnd) + "\n" +
+        " " * (prefix.length + (start - lineStart)) + "^" * errLen
+    }.mkString("\n")
+
+  /** Compile with multi-error collection: the parser recovers at statement
+    * boundaries (panic-mode sync) so one bad schema reports every syntax
+    * error, like the reference's lark `on_error` path
+    * (`parser.py:234-269`). */
+  def compileEither(source: String): Either[List[CompileError], CompiledSchema] = {
+    val reporter = new Reporter
+    val toks = Lexer.tokenize(source, reporter)
+    val stmts = new Parser(toks, reporter).parseStatements()
+    if (reporter.errors.nonEmpty) Left(reporter.errors.toList)
+    else Right(Builder.build(Desugar.run(stmts)))
+  }
+
+  def compile(source: String): CompiledSchema =
+    compileEither(source) match {
+      case Right(s) => s
+      case Left(errs) => throw CompileException(errs, renderErrors(source, errs))
+    }
+
+  /** Collects errors; adjacent same-message spans merge
+    * (`compilation_errors.py:46-52`). */
+  final class Reporter {
+    val errors = scala.collection.mutable.ListBuffer.empty[CompileError]
+    def report(msg: String, loc: Loc): Unit =
+      errors.lastOption match {
+        case Some(last) if last.msg == msg && last.loc.end >= loc.start - 1 =>
+          errors(errors.length - 1) = last.copy(loc = last.loc.copy(end = loc.end))
+        case _ => errors += CompileError(msg, loc)
+      }
   }
 
   // ---- tokens ---------------------------------------------------------------
 
-  sealed trait Tok { def line: Int }
-  final case class TType(name: String, line: Int) extends Tok
-  final case class TEdge(name: String, line: Int) extends Tok
-  final case class TNum(value: Double, line: Int) extends Tok
-  final case class TStr(value: String, line: Int) extends Tok
-  final case class TBool(value: Boolean, line: Int) extends Tok
-  final case class TRegex(pattern: String, line: Int) extends Tok
-  final case class TPunct(text: String, line: Int) extends Tok
-  final case class TEof(line: Int) extends Tok
+  sealed trait Tok { def loc: Loc; def line: Int = loc.line }
+  final case class TType(name: String, loc: Loc) extends Tok
+  final case class TEdge(name: String, loc: Loc) extends Tok
+  final case class TNum(value: Double, loc: Loc) extends Tok
+  final case class TStr(value: String, loc: Loc) extends Tok
+  final case class TBool(value: Boolean, loc: Loc) extends Tok
+  final case class TRegex(pattern: String, loc: Loc) extends Tok
+  final case class TPunct(text: String, loc: Loc) extends Tok
+  final case class TEof(loc: Loc) extends Tok
 
   object Lexer {
-    def tokenize(src: String): Vector[Tok] = {
+    def tokenize(src: String, reporter: Reporter): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
       var line = 1
-      var prev: Tok = TEof(0) // previous significant token (sign disambiguation)
+      var tokStart = 0
+      var tokLine = 1
+      var prev: Tok = TEof(Loc(0, 0, 0)) // previous significant token (sign disambiguation)
+      def loc(): Loc = Loc(tokLine, tokStart, i)
       def push(t: Tok): Unit = { out += t; prev = t }
       def isValueEnd(t: Tok): Boolean = t match {
         case _: TNum | _: TStr | _: TBool | _: TRegex | _: TEdge | _: TType => true
@@ -53,12 +114,14 @@ object KyeParser {
       }
       while (i < src.length) {
         val c = src(i)
+        tokStart = i; tokLine = line
         if (c == '\n') { line += 1; i += 1 }
         else if (c.isWhitespace || c == ',') i += 1 // commas are soft delimiters
         else if (c == '#') { while (i < src.length && src(i) != '\n') i += 1 }
         else if (c == '"') {
           val sb = new StringBuilder; i += 1
           while (i < src.length && src(i) != '"') {
+            if (src(i) == '\n') line += 1
             if (src(i) == '\\' && i + 1 < src.length) {
               sb.append(src(i + 1) match {
                 case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
@@ -66,14 +129,16 @@ object KyeParser {
               }); i += 2
             } else { sb.append(src(i)); i += 1 }
           }
-          if (i >= src.length) throw ParseError("unterminated string", line)
-          i += 1; push(TStr(sb.toString, line))
+          if (i >= src.length) reporter.report("Unterminated string", loc())
+          else i += 1
+          push(TStr(sb.toString, loc()))
         }
         else if (c == '/' && !isValueEnd(prev)) { // regex (never after a value)
           val sb = new StringBuilder; i += 1
           while (i < src.length && src(i) != '/') { sb.append(src(i)); i += 1 }
-          if (i >= src.length) throw ParseError("unterminated regex", line)
-          i += 1; push(TRegex(sb.toString, line))
+          if (i >= src.length) reporter.report("Unterminated regex", loc())
+          else i += 1
+          push(TRegex(sb.toString, loc()))
         }
         else if (c.isDigit ||
             ((c == '-' || c == '+') && i + 1 < src.length && src(i + 1).isDigit &&
@@ -87,29 +152,34 @@ object KyeParser {
             while (i < src.length && src(i).isDigit) i += 1
           }
           // NUMBER literals always become floats (kyepy parser.py:123-124)
-          push(TNum(src.substring(start, i).toDouble, line))
+          push(TNum(src.substring(start, i).toDouble, loc()))
         }
         else if (c.isUpper) {
           val start = i
           while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
           val w = src.substring(start, i)
-          if (w == "TRUE") push(TBool(true, line))
-          else if (w == "FALSE") push(TBool(false, line))
-          else push(TType(w, line))
+          if (w == "TRUE") push(TBool(true, loc()))
+          else if (w == "FALSE") push(TBool(false, loc()))
+          else push(TType(w, loc()))
         }
         else if (c.isLower || c == '_') {
           val start = i
           while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
-          push(TEdge(src.substring(start, i), line))
+          push(TEdge(src.substring(start, i), loc()))
         }
         else {
           val two = if (i + 1 < src.length) src.substring(i, i + 2) else ""
-          if (Set("!=", "==", ">=", "<=").contains(two)) { push(TPunct(two, line)); i += 2 }
-          else if ("(){}[]:|&^!~<>+-*/?%.".contains(c)) { push(TPunct(c.toString, line)); i += 1 }
-          else throw ParseError(s"unexpected character '$c'", line)
+          if (Set("!=", "==", ">=", "<=").contains(two)) { i += 2; push(TPunct(two, loc())) }
+          else if ("(){}[]:|&^!~<>+-*/?%.".contains(c)) { i += 1; push(TPunct(c.toString, loc())) }
+          else {
+            // record and skip — keep lexing so later errors surface too
+            i += 1
+            reporter.report("Unexpected character", loc())
+          }
         }
       }
-      out += TEof(line)
+      tokStart = math.max(src.length - 1, 0); tokLine = line
+      out += TEof(Loc(line, math.max(src.length - 1, 0), src.length))
       out.result()
     }
   }
@@ -127,37 +197,70 @@ object KyeParser {
 
   sealed trait Stmt
   final case class SModel(name: String, indexes: List[List[String]],
-                          body: List[Stmt], line: Int) extends Stmt
-  final case class SType(name: String, expr: Expr, line: Int) extends Stmt
+                          body: List[Stmt], loc: Loc) extends Stmt
+  final case class SType(name: String, expr: Expr, loc: Loc) extends Stmt
   final case class SEdge(name: String, title: Option[String], cardinality: Option[Char],
-                         expr: Expr, line: Int) extends Stmt
-  final case class SAssert(expr: Expr, line: Int) extends Stmt
+                         expr: Expr, loc: Loc) extends Stmt
+  final case class SAssert(expr: Expr, loc: Loc) extends Stmt
 
   // ---- parser ----------------------------------------------------------------
 
-  final class Parser(toks: Vector[Tok]) {
+  /** Recursive-descent parser with panic-mode recovery: a syntax error is
+    * recorded in the [[Reporter]] and the parser re-synchronizes at the
+    * next plausible statement boundary, so one pass reports every error in
+    * the schema (reference behavior: lark error callback + reporter,
+    * `parser.py:250-269`). */
+  final class Parser(toks: Vector[Tok], reporter: Reporter) {
     private var pos = 0
     private def peek: Tok = toks(pos)
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
-    private def err(msg: String): Nothing = throw ParseError(msg, peek.line)
+    private object Bail extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+    private def describe(t: Tok): String = t match {
+      case TType(n, _) => s"type name '$n'"
+      case TEdge(n, _) => s"'$n'"
+      case TNum(v, _) => s"number $v"
+      case TStr(v, _) => s"string \"$v\""
+      case TBool(v, _) => s"$v"
+      case TRegex(p, _) => s"regex /$p/"
+      case TPunct(p, _) => s"'$p'"
+      case _: TEof => "end of file"
+    }
+    private def err(msg: String): Nothing = {
+      reporter.report(msg, peek.loc)
+      throw Bail
+    }
     private def expect(p: String): Unit = peek match {
       case TPunct(`p`, _) => pos += 1
-      case other => err(s"expected '$p', found $other")
+      case other => err(s"Expected '$p', found ${describe(other)}")
     }
     private def at(p: String): Boolean = peek match {
       case TPunct(`p`, _) => true; case _ => false
     }
 
+    /** Skip to the next statement-ish token (always consuming >= 1). */
+    private def synchronize(): Unit = {
+      if (!peek.isInstanceOf[TEof]) pos += 1
+      var go = true
+      while (go) peek match {
+        case _: TEof | _: TType | _: TEdge | TPunct("}", _) => go = false
+        case _ => pos += 1
+      }
+    }
+
     def parseStatements(): List[Stmt] = {
       val out = List.newBuilder[Stmt]
-      while (!peek.isInstanceOf[TEof]) out += parseStatement()
+      while (!peek.isInstanceOf[TEof])
+        try out += parseStatement()
+        catch { case Bail => synchronize() }
       out.result()
     }
 
     private def parseBlock(): List[Stmt] = {
       expect("{")
       val out = List.newBuilder[Stmt]
-      while (!at("}")) out += parseStatement()
+      while (!at("}") && !peek.isInstanceOf[TEof])
+        try out += parseStatement()
+        catch { case Bail => synchronize() }
       expect("}")
       out.result()
     }
@@ -404,9 +507,9 @@ object KyeParser {
             require(edges.contains(ix), s"Index $ix not defined in model $name")
           models(name) = Model(name, indexes, edges.toMap, assertions.result(), None)
         case SEdge(n, _, _, _, line) =>
-          throw ParseError(s"edge '$n' outside a model", line)
+          throw ParseError(s"edge '$n' outside a model", line.line)
         case SAssert(_, line) =>
-          throw ParseError("assert outside a model", line)
+          throw ParseError("assert outside a model", line.line)
       }
       CompiledSchema(Map.empty, models.toMap)
     }

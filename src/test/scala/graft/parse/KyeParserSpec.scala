@@ -163,4 +163,46 @@ class KyeParserSpec extends AnyFunSuite {
     assert(viaDsl.models("Model").assertions.map(_.expr) ==
       viaJson.models("Model").assertions.map(_.expr))
   }
+
+  test("multi-error recovery: one bad schema reports every syntax error with spans") {
+    val src = """User(id) {
+                |  id: Number
+                |  name String
+                |  age: ::
+                |}
+                |Order(oid) {
+                |  oid @ Number
+                |}""".stripMargin
+    val errs = KyeParser.compileEither(src).left.getOrElse(Nil)
+    assert(errs.length >= 3, s"expected >=3 errors, got: $errs")
+    // spans point at the offending line/column
+    val lines = errs.map(_.loc.line)
+    assert(lines.contains(3), s"missing error on line 3 (name String): $lines")
+    assert(lines.contains(4), s"missing error on line 4 (age: ::): $lines")
+    assert(lines.contains(7), s"missing error on line 7 (oid @ Number): $lines")
+    errs.foreach { e =>
+      assert(e.loc.start >= 0 && e.loc.end >= e.loc.start)
+      // column check: the span starts within its reported line
+      val lineStart = src.lastIndexOf('\n', math.max(e.loc.start - 1, 0)) + 1
+      assert(src.substring(0, lineStart).count(_ == '\n') + 1 == e.loc.line)
+    }
+    // rendered report carries the reference highlight format
+    val rendered = KyeParser.renderErrors(src, errs)
+    assert(rendered.contains("Error: "))
+    assert(rendered.contains(" 3 | "), rendered)
+    assert(rendered.linesIterator.exists(_.trim.matches("\\^+")), rendered)
+    // compile() surfaces the same thing as one exception
+    val ex = intercept[KyeParser.CompileException](KyeParser.compile(src))
+    assert(ex.errors == errs)
+  }
+
+  test("multi-error recovery: lexer errors collected alongside parse errors") {
+    val errs = KyeParser.compileEither("User(id) {\n  id\u00a7: Number\n  x: \u00b6\n}").left.getOrElse(Nil)
+    assert(errs.exists(_.msg == "Unexpected character"), errs.toString)
+    assert(errs.length >= 2, errs.toString)
+  }
+
+  test("valid schemas still compile after the recovery refactor") {
+    assert(KyeParser.compileEither("User(id) { id: Number }").isRight)
+  }
 }
