@@ -16,10 +16,91 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** media row contract: (media_id, mime, media binary) */
-  final case class MediaMeta(media_id: Long, mime: String, width: Int, height: Int,
+  /** media row contract: (media_id, mime, media binary).
+    * `format` is detected from magic bytes: "bmp" / "wav" are REAL
+    * byte-layout parsers (no codec library needed); "grft" is the labeled
+    * synthetic container; "unknown" = unparseable. Audio fields are -1/0
+    * for visual formats and vice versa. */
+  final case class MediaMeta(media_id: Long, mime: String, format: String,
+                             width: Int, height: Int,
+                             channels: Int, sampleRateHz: Int, durationMs: Long,
                              nBytes: Long, valid: Boolean)
   final case class Frame(media_id: Long, frameIdx: Int, ts_ms: Long, pixelsHash: Long)
+
+  // ---- REAL container parsers (pure byte layout, public formats) -------------
+
+  /** BMP (Windows DIB) header: "BM", u32le file size, pixel offset at 10,
+    * DIB header size at 14, i32le width at 18, i32le height at 22 (negative
+    * = top-down), u16le bpp at 28. Returns (width, height, bpp). */
+  def parseBmp(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 30) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dibSize = bb.getInt(14)
+    if (dibSize < 40) return None // BITMAPINFOHEADER or later
+    val w = bb.getInt(18)
+    val h = math.abs(bb.getInt(22))
+    val bpp = bb.getShort(28) & 0xFFFF
+    if (w <= 0 || h <= 0) None else Some((w, h, bpp))
+  }
+
+  /** WAV (RIFF) header: "RIFF" + u32le size + "WAVE", then chunks; the
+    * "fmt " chunk carries u16le channels at +2, u32le sample rate at +4,
+    * u32le byte rate at +8; the "data" chunk length gives the duration.
+    * Returns (channels, sampleRateHz, durationMs). */
+  def parseWav(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 44) return None
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var channels = -1; var rate = -1; var byteRate = -1; var dataLen = -1L
+    while (off + 8 <= bytes.length && (channels < 0 || dataLen < 0)) {
+      val id = ascii(off, 4)
+      val len = bb.getInt(off + 4)
+      if (len < 0 || off + 8 + len.toLong > bytes.length + 1) return None
+      if (id == "fmt " && len >= 16) {
+        channels = bb.getShort(off + 10) & 0xFFFF
+        rate = bb.getInt(off + 12)
+        byteRate = bb.getInt(off + 16)
+      } else if (id == "data") dataLen = len.toLong
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataLen < 0) None
+    else Some((channels, rate, dataLen * 1000 / byteRate))
+  }
+
+  /** Minimal valid BMP bytes (24bpp, bottom-up, zeroed pixels) — fixture
+    * builder for tests and synthetic pipelines. */
+  def synthesizeBmp(width: Int, height: Int): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val pixelBytes = rowSize * height
+    val bb = java.nio.ByteBuffer.allocate(54 + pixelBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + pixelBytes)
+      .putInt(0).putInt(54) // reserved, pixel offset
+      .putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(pixelBytes)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.array()
+  }
+
+  /** Minimal valid PCM WAV bytes (silence) — fixture builder. */
+  def synthesizeWav(channels: Int, sampleRateHz: Int, millis: Int,
+                    bitsPerSample: Int = 16): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val byteRate = sampleRateHz * blockAlign
+    val dataLen = byteRate * millis / 1000
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRateHz)
+      .putInt(byteRate).putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
 
   /** Synthetic media header: 16 bytes = magic "GRFT" + width(int) +
     * height(int) + frames(int), then payload. Stand-in for a real
@@ -44,7 +125,9 @@ object Multimodal {
   }
 
   /** Extract typed metadata from the binary column. mapPartitions (not a
-    * row UDF) so a real decoder could amortize native init per batch. */
+    * row UDF) so a real decoder could amortize native init per batch.
+    * BMP and WAV are parsed for real (byte layout only); the synthetic
+    * GRFT container covers the video-frames path. */
   def extractMeta(df: DataFrame): Dataset[MediaMeta] = {
     implicit val enc = Encoders.product[MediaMeta]
     df.select(col("media_id").cast("long"), col("mime").cast("string"), col("media"))
@@ -53,11 +136,15 @@ object Multimodal {
           val id = r.getLong(0)
           val mime = r.getString(1)
           val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-          decodeHeader(bytes) match {
-            case Some((w, h, _)) => MediaMeta(id, mime, w, h, bytes.length.toLong, valid = true)
-            case None => MediaMeta(id, mime, -1, -1,
-              if (bytes == null) 0L else bytes.length.toLong, valid = false)
-          }
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          def invalid = MediaMeta(id, mime, "unknown", -1, -1, -1, -1, -1L, n, valid = false)
+          parseBmp(bytes).map { case (w, h, _) =>
+            MediaMeta(id, mime, "bmp", w, h, -1, -1, -1L, n, valid = true)
+          }.orElse(parseWav(bytes).map { case (ch, rate, ms) =>
+            MediaMeta(id, mime, "wav", -1, -1, ch, rate, ms, n, valid = true)
+          }).orElse(decodeHeader(bytes).map { case (w, h, _) =>
+            MediaMeta(id, mime, "grft", w, h, -1, -1, -1L, n, valid = true)
+          }).getOrElse(invalid)
         }
       }
   }
