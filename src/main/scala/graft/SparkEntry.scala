@@ -315,13 +315,17 @@ object SparkEntry {
         .select(col("query_id"), col("item_id"), col("rank"))
     }),
 
-    // == text analysis: per-doc stats ==
+    // == text analysis: per-doc stats (one native scan; the two-stage
+    // select keeps the struct-producing expression evaluated once —
+    // CollapseProject does not inline non-cheap exprs used 3x) ==
     "q_text_stats" -> ((s, dir) =>
-      documents(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
-        length(col("text")).as("n_chars"),
-        coalesce(regexp_count(col("text"), lit("[^\\s\\p{L}\\p{N}]")), lit(0)).as("n_punct"))),
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextStats.text_stats(col("text")).as("_ts"))
+        .select(col("doc_id"),
+          col("_ts.ws_tokens").as("ws_tokens"),
+          col("_ts.n_chars").as("n_chars"),
+          col("_ts.n_punct").as("n_punct"))),
 
     // == text analysis: language id distribution (deterministic stopword
     // argmax, integer-exact threshold — full DuckDB oracle) ==

@@ -119,6 +119,43 @@ object TextProfile {
   }
 }
 
+/** Per-document surface stats in ONE scan: whitespace-delimited token
+  * count (maximal non-whitespace runs — identical to
+  * `split(text, "\\s+")` + non-empty filter), char count, and punctuation
+  * count (`[^\s\p{L}\p{N}]`). Replaces two regex passes + an interpreted
+  * HOF filter per row. */
+case class TextStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def dataType: DataType = StructType(Seq(
+    StructField("ws_tokens", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var i = 0; var ws = 0; var punct = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (!Character.isWhitespace(c)) {
+        if (!Character.isLetterOrDigit(c)) punct += 1
+        if (i == 0 || Character.isWhitespace(s.charAt(i - 1))) ws += 1
+      }
+      i += 1
+    }
+    InternalRow(ws, len, punct)
+  }
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+  def text_stats(c: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      TextStats(org.apache.spark.sql.GraftExpressionBridge.expression(c)))
+}
+
 /** Native language-id: one tokenize pass, stopword-hash membership,
   * integer-exact threshold. */
 case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {

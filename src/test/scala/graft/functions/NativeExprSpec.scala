@@ -92,6 +92,23 @@ class NativeExprSpec extends SparkSuite {
     assert(q < 0.6, s"junk scored $q")
   }
 
+  test("TextStats matches the HOF/regex formulation across the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mismatch = docs.select(
+        TextStats.text_stats(col("text")).as("_ts"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws"),
+        length(col("text")).as("nc"),
+        coalesce(regexp_count(col("text"), lit("[^\\s\\p{L}\\p{N}]")), lit(0)).as("np"))
+      .filter(col("_ts.ws_tokens") =!= col("ws") || col("_ts.n_chars") =!= col("nc") ||
+        col("_ts.n_punct") =!= col("np"))
+      .count()
+    assert(mismatch === 0)
+    val edge = Seq(("  a  b.c! ", 1), ("", 2)).toDF("text", "i")
+      .select(TextStats.text_stats(col("text")).as("s")).collect()
+    assert(edge(0).getStruct(0).toSeq == Seq(2, 10, 2)) // runs "a","b.c!"; punct '.','!'
+    assert(edge(1).getStruct(0).toSeq == Seq(0, 0, 0))
+  }
+
   test("hyperplaneSignature column API (single table) matches native call") {
     val df = Seq((Array(1.0f, -2.0f, 0.5f))).toDF("v")
     val sig = df.select(Similarity.hyperplaneSignature(col("v"), 16)).collect()(0).getLong(0)
