@@ -33,8 +33,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: JIT + codegen + parquet reader + shuffle machinery init
+    // otherwise lands entirely on whichever query happens to run first
+    // (measured ~4.5 s of pure first-query overhead at local[32])
+    try {
+      import org.apache.spark.sql.functions._
+      val ev = spark.read.parquet(s"$sfDir/events.parquet").limit(20000)
+      force(ev.groupBy(col("event_type")).agg(count(lit(1)), min(col("value"))))
+      force(spark.read.parquet(s"$sfDir/documents.parquet").limit(500)
+        .select(xxhash64(col("text"))))
+    } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic (sorted) order so per-round per-query times compare
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) }
       catch { case e: Throwable =>
@@ -50,7 +61,7 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
