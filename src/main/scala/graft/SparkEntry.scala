@@ -315,6 +315,23 @@ object SparkEntry {
         .select(col("query_id"), col("item_id"), col("rank"))
     }),
 
+    // == similarity: IVF (k-means inverted-file) approximate top-k. Same
+    // self-recall oracle technique as q_ann_lsh: queries are exact item
+    // copies, cell assignment is deterministic (cosine argmax, ties to
+    // the lower centroid id), so the item's cell is always the query's
+    // first probe and exact re-rank puts self at rank 1 — independent of
+    // where k-means converged. ==
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val centroids = Similarity.trainCentroids(e, "vec_id", "embedding", nLists = 32)
+      Similarity.ivfTopK(e, "vec_id", "embedding", queries, "query_id", "qvec",
+        k = 5, centroids, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("item_id"), col("rank"))
+    }),
+
     // == text analysis: per-doc stats (one native scan; the two-stage
     // select keeps the struct-producing expression evaluated once —
     // CollapseProject does not inline non-cheap exprs used 3x) ==
@@ -511,6 +528,9 @@ object SparkEntry {
     // self-recall invariant: identical query/item vectors must re-rank to
     // the top regardless of the LSH hash family (see the query comment)
     "q_ann_lsh" ->
+      """SELECT vec_id AS query_id, vec_id AS item_id, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "q_ann_ivf" ->
       """SELECT vec_id AS query_id, vec_id AS item_id, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
     // only the injected exact copies clear threshold 0.999 in this corpus

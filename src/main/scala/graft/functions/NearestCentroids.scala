@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** IVF coarse-quantizer assignment as one native expression: the `m`
+  * centroid ids nearest to the input vector by cosine similarity, in one
+  * pass over `centroids x dim` (ties break to the lower centroid id, so
+  * assignment is fully deterministic). Items use m=1 (their cell); queries
+  * use m=nProbe (the probed cells). Centroids are a plan-time constant —
+  * they ship inside the serialized expression, the executor-side analogue
+  * of a broadcast. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], m: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty && m >= 1 && m <= centroids.length)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  // pre-normalized once per (deserialized) expression instance
+  @transient private lazy val unit: Array[Array[Double]] = centroids.map { c =>
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0) c else c.map(_ / n)
+  }
+
+  private lazy val toDoubles: ArrayData => Array[Double] = child.dataType match {
+    case ArrayType(FloatType, _) => (a: ArrayData) => {
+      val f = a.toFloatArray()
+      val d = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { d(i) = f(i); i += 1 }
+      d
+    }
+    case ArrayType(DoubleType, _) => _.toDoubleArray()
+    case other =>
+      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = toDoubles(input.asInstanceOf[ArrayData])
+    new GenericArrayData(NearestCentroids.nearest(v, unit, m))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+object NearestCentroids {
+  /** Indices of the `m` unit-centroids with the largest dot product against
+    * `v` (cosine order — `v`'s own norm is rank-invariant). */
+  def nearest(v: Array[Double], unitCentroids: Array[Array[Double]], m: Int): Array[Int] = {
+    val k = unitCentroids.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = unitCentroids(c)
+      val d = math.min(cent.length, v.length)
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += v(i) * cent(i); i += 1 }
+      scores(c) = s
+      c += 1
+    }
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && scores(i) > bestS) { best = i; bestS = scores(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    out
+  }
+
+  def nearest_centroids(c: Column, centroids: Array[Array[Double]], m: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      NearestCentroids(org.apache.spark.sql.GraftExpressionBridge.expression(c), centroids, m))
+}

@@ -93,4 +93,65 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("item_id"))
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---- IVF (inverted-file) ANN -------------------------------------------------
+
+  /** Spherical k-means coarse quantizer trained on a bounded, deterministic
+    * sample (`orderBy(id).limit(n)` = distributed TakeOrdered — no full
+    * sort, no unbounded collect). Strided init over the ordered sample +
+    * Lloyd iterations with cosine assignment; empty cells keep their old
+    * centroid. Fully deterministic: same data -> same centroids. */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     nLists: Int, maxSamples: Int = 8192, iters: Int = 8): Array[Array[Double]] = {
+    val rows = df.orderBy(col(idCol)).limit(maxSamples)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .filter(_.nonEmpty)
+    require(rows.length >= nLists, s"need >= $nLists sample vectors, got ${rows.length}")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample = rows.map(normalize)
+    val dim = sample.head.length
+    val stride = sample.length / nLists
+    var centroids = Array.tabulate(nLists)(i => sample(i * stride).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Int](nLists)
+      for (v <- sample) {
+        val c = graft.functions.NearestCentroids.nearest(v, centroids, 1)(0)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nLists)(c =>
+        if (counts(c) == 0) centroids(c)
+        else normalize(sums(c).map(_ / counts(c))))
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: items live in their nearest-centroid cell
+    * (ONE cell per item — the inverted file), queries probe their `nProbe`
+    * nearest cells, exact cosine re-rank inside. The standard ANN scale
+    * path when buckets must be balanced: candidate cost ~=
+    * queries x nProbe x (n / nLists), and k-means cells don't degenerate
+    * the way hash buckets can. Assignment and probing are one native
+    * expression pass per row ([[graft.functions.NearestCentroids]]). */
+  def ivfTopK(items: DataFrame, itemId: String, itemVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, centroids: Array[Array[Double]], nProbe: Int = 4): DataFrame = {
+    import graft.functions.NearestCentroids.nearest_centroids
+    val itemsC = items.select(col(itemId).as("item_id"), col(itemVec).as("_iv"),
+      get(nearest_centroids(col(itemVec), centroids, 1), lit(0)).as("_cell"))
+    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"),
+      explode(nearest_centroids(col(queryVec), centroids, nProbe)).as("_cell"))
+    val cands = probes.join(itemsC, "_cell")
+      .select(col("query_id"), col("item_id"),
+        cosine(col("_iv"), col("_qv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("item_id"))
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -70,6 +70,33 @@ class SimilarityTextSpec extends SparkSuite {
     emb.unpersist()
   }
 
+  test("IVF top-k: deterministic centroids, self-recall, clustered recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", nLists = 16)
+    val c2 = Similarity.trainCentroids(emb, "vec_id", "embedding", nLists = 16)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "training must be deterministic")
+    assert(c1.length == 16 && c1.forall(_.length == 64))
+    // self-recall: queries ARE items -> rank 1 must be self (hash/kmeans independent)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 3, c1, nProbe = 2)
+      .collect()
+    val rank1 = top.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("item_id")).toMap
+    assert((0L until 10L).forall(q => rank1.get(q).contains(q)), s"self-recall broken: $rank1")
+    // clustered recall: perturbed copies come back at rank 1 via probing
+    val perturbed = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x * lit(1.01f) + lit(0.002f)).as("qvec"))
+    val pTop1 = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        perturbed, "query_id", "qvec", k = 1, c1, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id")))
+    val recalled = pTop1.count { case (q, i) => q == i }
+    assert(recalled >= 18, s"perturbed-self IVF recall $recalled/20 below 0.9")
+    emb.unpersist()
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val df = Seq(("Hello, world! This is tokenization."),
       (""), ("supercalifragilisticexpialidocious")).toDF("text")
