@@ -114,4 +114,71 @@ object ShingleMinHash {
   def shingle_minhash(c: Column, k: Int, numHashes: Int): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       ShingleMinHash(org.apache.spark.sql.GraftExpressionBridge.expression(c), k, numHashes))
+
+  /** DISTINCT shingle hashes of a document (same tokenizer + k-shingle +
+    * hash family as the signature path). Shared by [[ShingleHashes]] for
+    * exact-Jaccard pipelines: 8-byte hashed shingles instead of
+    * interpreted-HOF-built strings — smaller shuffle rows, no string
+    * materialization, identical set semantics (64-bit collisions are
+    * negligible at any corpus size that fits a cluster). */
+  def shingleHashSet(text: String, k: Int): Array[Long] = {
+    val lower = text.toLowerCase
+    var tokenHashes = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    val len = lower.length
+    while (i < len) {
+      while (i < len && !Character.isLetterOrDigit(lower.charAt(i))) i += 1
+      val start = i
+      while (i < len && Character.isLetterOrDigit(lower.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == tokenHashes.length) {
+          val bigger = new Array[Long](nTok * 2)
+          System.arraycopy(tokenHashes, 0, bigger, 0, nTok)
+          tokenHashes = bigger
+        }
+        tokenHashes(nTok) = hashRange(lower, start, i)
+        nTok += 1
+      }
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    @inline def add(h: Long): Unit = if (seen.add(h)) out += h
+    if (nTok >= k) {
+      var s = 0
+      while (s <= nTok - k) {
+        var sh = FNV_OFFSET
+        var j = 0
+        while (j < k) { sh = (sh ^ tokenHashes(s + j)) * FNV_PRIME; j += 1 }
+        add(mix(sh))
+        s += 1
+      }
+    } else {
+      var sh = FNV_OFFSET
+      var j = 0
+      while (j < nTok) { sh = (sh ^ tokenHashes(j)) * FNV_PRIME; j += 1 }
+      add(mix(sh))
+    }
+    out.toArray
+  }
+}
+
+/** Distinct word-k-shingle hashes as one native expression (see
+  * [[ShingleMinHash.shingleHashSet]]). */
+case class ShingleHashes(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleMinHash.shingleHashSet(input.asInstanceOf[UTF8String].toString, k))
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def shingle_hashes(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      ShingleHashes(org.apache.spark.sql.GraftExpressionBridge.expression(c), k))
 }

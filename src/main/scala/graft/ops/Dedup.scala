@@ -139,8 +139,11 @@ object Dedup {
     // so no second tokenize scan or per-side size join is needed.
     // Doc-freq prune is a hash aggregate + colocated join — NOT a window,
     // which would additionally SORT the entire inverted index.
+    // native distinct-shingle-hash expression: one tight loop per doc, and
+    // the inverted index shuffles 8-byte longs instead of shingle strings
     val inv = df
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("_sh"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingle_hashes(col(textCol), n).as("_sh"))
       .select(col("doc_id"), size(col("_sh")).as("_sz"), explode(col("_sh")).as("shingle"))
       .repartition(col("shingle"))
     val rare = inv.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
