@@ -128,6 +128,8 @@ object Main {
     }
     println(s"$totalViolations violations; survivors=" +
       result.survivors.map(_.count().toString).getOrElse("<aborted>"))
+    violations.unpersist()
+    result.cleanup()
     totalViolations > 0
   }
 

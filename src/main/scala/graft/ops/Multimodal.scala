@@ -85,6 +85,65 @@ object Multimodal {
     bb.array()
   }
 
+  /** 24bpp bottom-up BMP pixel accessor: (offset of pixel row r, col c).
+    * Rows are padded to 4-byte boundaries. */
+  private def bmpPixelLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    parseBmp(bytes).flatMap { case (w, h, bpp) =>
+      if (bpp != 24) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val pixelOff = bb.getInt(10)
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        if (pixelOff + rowSize.toLong * h > bytes.length) None
+        else Some((w, h, pixelOff, rowSize))
+      }
+    }
+
+  /** REAL nearest-neighbor resize of a 24bpp BMP — actual pixel work, no
+    * codec library (BMP is an uncompressed public byte layout). Returns a
+    * well-formed BMP of the new dimensions, or None if the input isn't a
+    * 24bpp BMP. */
+  def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+    bmpPixelLayout(bytes).map { case (w, h, pixelOff, rowSize) =>
+      val out = synthesizeBmp(newW, newH)
+      val outRowSize = ((newW * 3 + 3) / 4) * 4
+      var y = 0
+      while (y < newH) {
+        val srcY = (y.toLong * h / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val srcX = (x.toLong * w / newW).toInt
+          val src = pixelOff + srcY * rowSize + srcX * 3
+          val dst = 54 + y * outRowSize + x * 3
+          out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** REAL per-channel means (B, G, R — BMP channel order) of a 24bpp BMP —
+    * the feature-extraction kernel, de-stubbed for the one format whose
+    * pixels are plain bytes. */
+  def bmpChannelMeans(bytes: Array[Byte]): Option[(Double, Double, Double)] =
+    bmpPixelLayout(bytes).map { case (w, h, pixelOff, rowSize) =>
+      var b = 0L; var g = 0L; var r = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val rowOff = pixelOff + y * rowSize
+        while (x < w) {
+          val p = rowOff + x * 3
+          b += bytes(p) & 0xFF; g += bytes(p + 1) & 0xFF; r += bytes(p + 2) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      (b.toDouble / n, g.toDouble / n, r.toDouble / n)
+    }
+
   /** Minimal valid PCM WAV bytes (silence) — fixture builder. */
   def synthesizeWav(channels: Int, sampleRateHz: Int, millis: Int,
                     bitsPerSample: Int = 16): Array[Byte] = {
@@ -166,6 +225,45 @@ object Multimodal {
               Frame(id, f, f * 40L, (id * 31L + f) * 1000003L + w * 7L + h)
             }
           case None => Nil
+        }
+      }
+  }
+
+  final case class ResizedMedia(media_id: Long, media: Array[Byte], resized: Boolean)
+  final case class ImageFeatures(media_id: Long, mean_b: Double, mean_g: Double,
+                                 mean_r: Double, valid: Boolean)
+
+  /** Batch resize over the binary column (24bpp BMPs resized for real;
+    * anything else passes through with resized=false). mapPartitions
+    * keeps the production contract: binary in, binary out, row-at-a-time
+    * failure isolation. */
+  def resizeImages(df: DataFrame, newW: Int, newH: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    df.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          resizeBmp(bytes, newW, newH) match {
+            case Some(out) => ResizedMedia(id, out, resized = true)
+            case None => ResizedMedia(id, bytes, resized = false)
+          }
+        }
+      }
+  }
+
+  /** Batch feature extraction: real per-channel means for 24bpp BMPs. */
+  def imageFeatures(df: DataFrame): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    df.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          bmpChannelMeans(bytes) match {
+            case Some((b, g, rr)) => ImageFeatures(id, b, g, rr, valid = true)
+            case None => ImageFeatures(id, -1, -1, -1, valid = false)
+          }
         }
       }
   }

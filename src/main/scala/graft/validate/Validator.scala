@@ -28,11 +28,17 @@ final case class ValidatorConfig(
     rowIdCol: String = "_row")
 
 /** @param survivors the cleaned, index-grouped table (None = model aborted,
-  *   like the reference returning None from `Loader.load`). */
+  *   like the reference returning None from `Loader.load`).
+  * @param cached intermediate stage caches backing `violations`/`survivors`
+  *   — call [[cleanup]] once both are consumed so long-lived sessions
+  *   (servers, multi-model runs) don't pin executor storage. */
 final case class ValidationResult(
     violations: DataFrame,
     survivors: Option[DataFrame],
-    droppedColumns: Seq[String])
+    droppedColumns: Seq[String],
+    cached: Seq[DataFrame] = Nil) {
+  def cleanup(): Unit = cached.foreach(_.unpersist())
+}
 
 /** The 8-stage validation pipeline of the reference loader
   * (kyepy `kye/vm/loader.py:32-202`) re-expressed as declarative Spark
@@ -67,8 +73,10 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       throw new IllegalArgumentException(s"Source '$modelName' not found"))
 
     val violations = ListBuffer.empty[DataFrame]
+    val cachedDfs = ListBuffer.empty[DataFrame]
+    def cached(d: DataFrame): DataFrame = { val c = d.cache(); cachedDfs += c; c }
     def abort(): ValidationResult =
-      ValidationResult(unionAll(spark, violations.toList), None, Nil)
+      ValidationResult(unionAll(spark, violations.toList), None, Nil, cachedDfs.toSeq)
 
     // ---- S1: conform columns (rename titles, drop unknown) ----------------
     val colNameMap: Map[String, String] =
@@ -98,7 +106,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       case Some((d, cols)) => df = d; dataCols = cols
     }
     if (dataCols.isEmpty) return abort()
-    df = df.cache()
+    df = cached(df)
     if (config.abortOnEmpty && df.isEmpty) return abort()
 
     // ---- S4: assertions as predicate columns ------------------------------
@@ -140,7 +148,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
             if (anyFailed) p else lit(true) // strict: null drops too
           }
         } else rawPreds.map { case (_, p) => coalesce(p, lit(true)) }
-      df = df.filter(survivorPreds.reduce(_ && _)).cache()
+      df = cached(df.filter(survivorPreds.reduce(_ && _)))
       if (config.abortOnEmpty && df.isEmpty) return abort()
     }
 
@@ -162,7 +170,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
           lit(null).cast(StringType).as("expected"))
       }
       val allBad = badRowSets.reduce(_ union _).distinct()
-      df = df.join(allBad, Seq(rowId), "left_anti").cache()
+      df = cached(df.join(allBad, Seq(rowId), "left_anti"))
       if (config.abortOnEmpty && df.isEmpty) return abort()
     }
 
@@ -230,7 +238,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
             case _ => size(col(s"_vals_$c")).as(s"_n_$c")
           }
         }
-    val grouped = grouped0.select(groupedCols: _*).cache()
+    val grouped = cached(grouped0.select(groupedCols: _*))
 
     var groupOk: Column = lit(true)
     val badKeyParts = ListBuffer.empty[DataFrame]
@@ -263,7 +271,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         col(rowId).cast(LongType).as("row"), col("col"), col("loc"),
         lit(null).cast(StringType).as("expected"))
     }
-    var gdf = grouped.filter(groupOk).cache()
+    var gdf = cached(grouped.filter(groupOk))
     if (config.abortOnEmpty && gdf.isEmpty) return abort()
 
     // ---- S7: index-conflict across alternate keys --------------------------
@@ -317,7 +325,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
 
     // ---- S8: surviving grouped table ---------------------------------------
     val survivors = gdf.select(dataCols.map(col): _*)
-    ValidationResult(unionAll(spark, violations.toList), Some(survivors), dropped.toSeq)
+    ValidationResult(unionAll(spark, violations.toList), Some(survivors), dropped.toSeq, cachedDfs.toSeq)
   }
 
   // ---- S3 impl -------------------------------------------------------------

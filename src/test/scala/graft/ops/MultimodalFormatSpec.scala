@@ -33,6 +33,45 @@ class MultimodalFormatSpec extends SparkSuite {
     assert(Multimodal.parseWav(bytes.take(30)).isEmpty)
   }
 
+  test("BMP resize: real nearest-neighbor pixel work, well-formed output") {
+    // 4x2 image: left half solid red (BMP stores BGR), right half solid blue
+    val src = Multimodal.synthesizeBmp(4, 2)
+    val rowSize = ((4 * 3 + 3) / 4) * 4
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val p = 54 + y * rowSize + x * 3
+      if (x < 2) { src(p) = 0; src(p + 1) = 0; src(p + 2) = 0xFF.toByte } // red
+      else { src(p) = 0xFF.toByte; src(p + 1) = 0; src(p + 2) = 0 }       // blue
+    }
+    val out = Multimodal.resizeBmp(src, 2, 1).get
+    assert(Multimodal.parseBmp(out).contains((2, 1, 24)))
+    val outRow = ((2 * 3 + 3) / 4) * 4
+    assert((out(54) & 0xFF, out(56) & 0xFF) == (0, 255), "left pixel stays red")
+    assert((out(54 + 3) & 0xFF, out(56 + 3) & 0xFF) == (255, 0), "right pixel stays blue")
+    assert(outRow > 0)
+    // channel means reflect the half/half split exactly
+    val (b, g, r) = Multimodal.bmpChannelMeans(src).get
+    assert(b == 127.5 && g == 0.0 && r == 127.5)
+    // non-BMP input passes through
+    assert(Multimodal.resizeBmp("not an image".getBytes, 2, 2).isEmpty)
+  }
+
+  test("resize + feature ops run through the Dataset batch contract") {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("mime", StringType),
+      StructField("media", BinaryType)))
+    val rows = Seq(
+      Row(1L, "image/bmp", Multimodal.synthesizeBmp(64, 32)),
+      Row(2L, "audio/wav", Multimodal.synthesizeWav(1, 8000, 100)),
+      Row(3L, "image/bmp", null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val resized = Multimodal.resizeImages(df, 16, 8).collect().map(m => m.media_id -> m).toMap
+    assert(resized(1L).resized && Multimodal.parseBmp(resized(1L).media).contains((16, 8, 24)))
+    assert(!resized(2L).resized, "WAV passes through unresized")
+    val feats = Multimodal.imageFeatures(df).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).valid && feats(1L).mean_b == 0.0) // zeroed pixels
+    assert(!feats(2L).valid && !feats(3L).valid)
+  }
+
   test("extractMeta dispatches on magic bytes across a mixed partition") {
     val schema = StructType(Seq(
       StructField("media_id", LongType), StructField("mime", StringType),
