@@ -286,7 +286,12 @@ object SparkEntry {
       val e = embeddings(s, dir)
       val withDups = e.union(
         e.filter(col("vec_id") % 13 === 0).withColumn("vec_id", col("vec_id") + 10000000L))
-      Dedup.embeddingNearDuplicates(withDups, "vec_id", "embedding", threshold = 0.999)
+      // maxBucketSize raised well above any bucket this corpus can produce
+      // (noise vectors, 2^16 buckets) so the oracle's "every injected pair
+      // present" invariant can't collide with the production hot-bucket
+      // guard at any test SF
+      Dedup.embeddingNearDuplicates(withDups, "vec_id", "embedding", threshold = 0.999,
+          maxBucketSize = 1000000)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 

@@ -94,7 +94,14 @@ object Main {
     // columnar/codegen, no RDD round-trip). zipWithIndex is the explicit
     // fallback for keyless fixtures only.
     val withIds = opts.get("row-key") match {
-      case Some(k) => data.withColumn("_row", col(k).cast("long"))
+      case Some(k) =>
+        // fail fast on non-numeric keys: cast("long") on e.g. a UUID column
+        // would silently NULL every _row and strip the report's row anchors
+        val dt = data.schema(k).dataType
+        require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"--row-key column '$k' must be numeric (found $dt); " +
+            "omit --row-key to fall back to positional row ids")
+        data.withColumn("_row", col(k).cast("long"))
       case None => Validator.withRowIds(data)
     }
     val result = new Validator(schema,

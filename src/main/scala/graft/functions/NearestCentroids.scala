@@ -69,11 +69,17 @@ object NearestCentroids {
     val taken = new Array[Boolean](k)
     var j = 0
     while (j < m) {
+      // NaN scores (e.g. NaN elements from upstream zero-vector
+      // normalization) rank as -inf: the row still deterministically lands
+      // in the lowest-id untaken cell instead of crashing the stage
       var best = -1
       var bestS = Double.NegativeInfinity
       var i = 0
       while (i < k) {
-        if (!taken(i) && scores(i) > bestS) { best = i; bestS = scores(i) }
+        if (!taken(i)) {
+          val s = if (java.lang.Double.isNaN(scores(i))) Double.NegativeInfinity else scores(i)
+          if (best == -1 || s > bestS) { best = i; bestS = s }
+        }
         i += 1
       }
       taken(best) = true

@@ -62,7 +62,7 @@ object ShingleMinHash {
   }
 
   def signature(text: String, k: Int, numHashes: Int): Array[Long] = {
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     // token hashes without materializing token strings
     var tokenHashes = new Array[Long](16)
     var nTok = 0
@@ -122,7 +122,7 @@ object ShingleMinHash {
     * materialization, identical set semantics (64-bit collisions are
     * negligible at any corpus size that fits a cluster). */
   def shingleHashSet(text: String, k: Int): Array[Long] = {
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     var tokenHashes = new Array[Long](16)
     var nTok = 0
     var i = 0

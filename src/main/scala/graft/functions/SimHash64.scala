@@ -34,7 +34,7 @@ object SimHash64 {
   }
 
   def fingerprint(text: String): Long = {
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val votes = new Array[Int](64)
     var i = 0
     val len = lower.length

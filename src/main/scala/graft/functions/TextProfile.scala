@@ -52,7 +52,7 @@ object TextProfile {
       counts: Array[Long], nTokens: Long, lenSum: Long, nPunct: Long, nChars: Int)
 
   def profile(text: String): Profile = {
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val len = lower.length
     val counts = new Array[Long](stopwordHashes.length)
     var nTokens = 0L

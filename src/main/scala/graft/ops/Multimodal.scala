@@ -58,7 +58,10 @@ object Multimodal {
     while (off + 8 <= bytes.length && (channels < 0 || dataLen < 0)) {
       val id = ascii(off, 4)
       val len = bb.getInt(off + 4)
-      if (len < 0 || off + 8 + len.toLong > bytes.length + 1) return None
+      // declared chunk data must actually be present (the optional pad
+      // byte after an odd-length final chunk may be absent, but the data
+      // itself may not)
+      if (len < 0 || off + 8 + len.toLong > bytes.length) return None
       if (id == "fmt " && len >= 16) {
         channels = bb.getShort(off + 10) & 0xFFFF
         rate = bb.getInt(off + 12)
@@ -85,31 +88,35 @@ object Multimodal {
     bb.array()
   }
 
-  /** 24bpp bottom-up BMP pixel accessor: (offset of pixel row r, col c).
-    * Rows are padded to 4-byte boundaries. */
-  private def bmpPixelLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+  /** 24bpp BMP pixel accessor: (w, h, pixelOffset, rowSize, topDown).
+    * Rows are padded to 4-byte boundaries; a negative height field means
+    * top-down row order (byte row r = image row r; bottom-up otherwise). */
+  private def bmpPixelLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Boolean)] =
     parseBmp(bytes).flatMap { case (w, h, bpp) =>
       if (bpp != 24) None
       else {
         val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val pixelOff = bb.getInt(10)
+        val topDown = bb.getInt(22) < 0
         val rowSize = ((w * 3 + 3) / 4) * 4
         if (pixelOff + rowSize.toLong * h > bytes.length) None
-        else Some((w, h, pixelOff, rowSize))
+        else Some((w, h, pixelOff, rowSize, topDown))
       }
     }
 
   /** REAL nearest-neighbor resize of a 24bpp BMP — actual pixel work, no
-    * codec library (BMP is an uncompressed public byte layout). Returns a
-    * well-formed BMP of the new dimensions, or None if the input isn't a
-    * 24bpp BMP. */
+    * codec library (BMP is an uncompressed public byte layout). Output is
+    * always bottom-up; top-down inputs are orientation-corrected. Returns
+    * None if the input isn't a 24bpp BMP. */
   def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
-    bmpPixelLayout(bytes).map { case (w, h, pixelOff, rowSize) =>
+    bmpPixelLayout(bytes).map { case (w, h, pixelOff, rowSize, topDown) =>
       val out = synthesizeBmp(newW, newH)
       val outRowSize = ((newW * 3 + 3) / 4) * 4
-      var y = 0
+      var y = 0 // output byte row (bottom-up: image row newH-1-y)
       while (y < newH) {
-        val srcY = (y.toLong * h / newH).toInt
+        // source IMAGE row for this output image row, then to byte row
+        val srcImgY = ((newH - 1 - y).toLong * h / newH).toInt
+        val srcY = if (topDown) srcImgY else h - 1 - srcImgY
         var x = 0
         while (x < newW) {
           val srcX = (x.toLong * w / newW).toInt
@@ -127,7 +134,7 @@ object Multimodal {
     * the feature-extraction kernel, de-stubbed for the one format whose
     * pixels are plain bytes. */
   def bmpChannelMeans(bytes: Array[Byte]): Option[(Double, Double, Double)] =
-    bmpPixelLayout(bytes).map { case (w, h, pixelOff, rowSize) =>
+    bmpPixelLayout(bytes).map { case (w, h, pixelOff, rowSize, _) =>
       var b = 0L; var g = 0L; var r = 0L
       var y = 0
       while (y < h) {

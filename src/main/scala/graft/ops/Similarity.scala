@@ -103,9 +103,10 @@ object Similarity {
     * centroid. Fully deterministic: same data -> same centroids. */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
                      nLists: Int, maxSamples: Int = 8192, iters: Int = 8): Array[Array[Double]] = {
+    // double-cast in the plan so float AND double vector columns both work
     val rows = df.orderBy(col(idCol)).limit(maxSamples)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
       .filter(_.nonEmpty)
     require(rows.length >= nLists, s"need >= $nLists sample vectors, got ${rows.length}")
     def normalize(v: Array[Double]): Array[Double] = {

@@ -212,8 +212,10 @@ object KyeParser {
     * `parser.py:250-269`). */
   final class Parser(toks: Vector[Tok], reporter: Reporter) {
     private var pos = 0
-    private def peek: Tok = toks(pos)
-    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    // cursor clamps at TEof: an err() fired after next() consumed the
+    // final token must still read a location, not walk off the array
+    private def peek: Tok = toks(math.min(pos, toks.length - 1))
+    private def next(): Tok = { val t = peek; pos += 1; t }
     private object Bail extends RuntimeException { override def fillInStackTrace(): Throwable = this }
     private def describe(t: Tok): String = t match {
       case TType(n, _) => s"type name '$n'"

@@ -109,6 +109,23 @@ class NativeExprSpec extends SparkSuite {
     assert(edge(1).getStruct(0).toSeq == Seq(0, 0, 0))
   }
 
+  test("NearestCentroids: NaN vectors assign deterministically, no crash") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val nan = Array(Double.NaN, Double.NaN)
+    assert(NearestCentroids.nearest(nan, centroids, 2).toSeq == Seq(0, 1),
+      "NaN scores fall back to lowest-id untaken cells")
+    // a NaN score must never beat a real one
+    val mixed = Array(Array(Double.NaN, Double.NaN), Array(0.0, 1.0))
+    assert(NearestCentroids.nearest(Array(0.0, 1.0), mixed, 1).toSeq == Seq(1))
+  }
+
+  test("trainCentroids accepts double vector columns too") {
+    val df = spark.range(40).selectExpr("id",
+      "array(cast(id as double), cast(id % 7 as double)) as v")
+    val c = graft.ops.Similarity.trainCentroids(df, "id", "v", nLists = 4, maxSamples = 40)
+    assert(c.length == 4 && c.forall(_.length == 2))
+  }
+
   test("hyperplaneSignature column API (single table) matches native call") {
     val df = Seq((Array(1.0f, -2.0f, 0.5f))).toDF("v")
     val sig = df.select(Similarity.hyperplaneSignature(col("v"), 16)).collect()(0).getLong(0)

@@ -55,6 +55,32 @@ class MultimodalFormatSpec extends SparkSuite {
     assert(Multimodal.resizeBmp("not an image".getBytes, 2, 2).isEmpty)
   }
 
+  test("BMP resize preserves orientation for top-down inputs") {
+    // 1x2 bottom-up: byte row 0 = image bottom (blue), byte row 1 = top (red)
+    val rowSize = ((1 * 3 + 3) / 4) * 4
+    val bottomUp = Multimodal.synthesizeBmp(1, 2)
+    bottomUp(54) = 0xFF.toByte // bottom pixel blue (B channel)
+    bottomUp(54 + rowSize + 2) = 0xFF.toByte // top pixel red (R channel)
+    val r1 = Multimodal.resizeBmp(bottomUp, 1, 2).get
+    assert((r1(54) & 0xFF) == 255, "bottom stays blue")
+    assert((r1(54 + rowSize + 2) & 0xFF) == 255, "top stays red")
+    // same bytes declared top-down: byte row 0 = image TOP (blue)
+    val topDown = bottomUp.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -2)
+    val r2 = Multimodal.resizeBmp(topDown, 1, 2).get
+    assert((r2(54 + rowSize) & 0xFF) == 255, "image top (blue) lands in the output's top byte row")
+    assert((r2(54 + 2) & 0xFF) == 255, "image bottom (red) lands in the output's bottom byte row")
+  }
+
+  test("WAV chunk whose declared length exceeds the file is rejected") {
+    val bytes = Multimodal.synthesizeWav(1, 8000, 100)
+    // corrupt the data chunk length (+1 beyond actual bytes)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataLen = bb.getInt(40)
+    bb.putInt(40, dataLen + 1)
+    assert(Multimodal.parseWav(bytes).isEmpty, "over-declared data chunk must not be valid")
+  }
+
   test("resize + feature ops run through the Dataset batch contract") {
     val schema = StructType(Seq(
       StructField("media_id", LongType), StructField("mime", StringType),

@@ -205,4 +205,14 @@ class KyeParserSpec extends AnyFunSuite {
   test("valid schemas still compile after the recovery refactor") {
     assert(KyeParser.compileEither("User(id) { id: Number }").isRight)
   }
+
+  test("errors at end-of-file report cleanly instead of walking off the token array") {
+    // each of these used to IndexOutOfBounds when err() fired after next()
+    // had consumed the final TEof
+    for (src <- Seq("User { id:", "assert", "User (id", "User { id: Number")) {
+      val errs = KyeParser.compileEither(src).left.getOrElse(Nil)
+      assert(errs.nonEmpty, s"'$src' must report a CompileError, not crash")
+      assert(errs.forall(e => e.loc.start >= 0 && e.loc.end <= src.length + 1))
+    }
+  }
 }
