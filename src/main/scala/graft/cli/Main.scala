@@ -95,12 +95,17 @@ object Main {
     // fallback for keyless fixtures only.
     val withIds = opts.get("row-key") match {
       case Some(k) =>
-        // fail fast on non-numeric keys: cast("long") on e.g. a UUID column
-        // would silently NULL every _row and strip the report's row anchors
-        val dt = data.schema(k).dataType
-        require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-          s"--row-key column '$k' must be numeric (found $dt); " +
-            "omit --row-key to fall back to positional row ids")
+        // fail fast on keys whose long-cast could NULL or truncate row
+        // anchors: only integral types are loss-free. Resolve through
+        // Spark's own analyzer (case-insensitive, nested paths) rather
+        // than case-sensitive StructType lookup.
+        import org.apache.spark.sql.types._
+        val dt = data.select(col(k)).schema.head.dataType
+        require(
+          dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+          s"--row-key column '$k' must be an integral type (found $dt): " +
+            "floats truncate and wide decimals overflow to NULL, which would " +
+            "corrupt the report's row anchors; omit --row-key for positional ids")
         data.withColumn("_row", col(k).cast("long"))
       case None => Validator.withRowIds(data)
     }

@@ -62,24 +62,22 @@ object NearestCentroids {
       var s = 0.0
       var i = 0
       while (i < d) { s += v(i) * cent(i); i += 1 }
-      scores(c) = s
+      // NaN scores (e.g. NaN elements from upstream zero-vector
+      // normalization) clamp to -inf ONCE at fill time: the row still
+      // deterministically lands in the lowest-id untaken cells instead of
+      // crashing the stage, and the selection loop stays branch-light
+      scores(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       c += 1
     }
     val out = new Array[Int](m)
     val taken = new Array[Boolean](k)
     var j = 0
     while (j < m) {
-      // NaN scores (e.g. NaN elements from upstream zero-vector
-      // normalization) rank as -inf: the row still deterministically lands
-      // in the lowest-id untaken cell instead of crashing the stage
       var best = -1
       var bestS = Double.NegativeInfinity
       var i = 0
       while (i < k) {
-        if (!taken(i)) {
-          val s = if (java.lang.Double.isNaN(scores(i))) Double.NegativeInfinity else scores(i)
-          if (best == -1 || s > bestS) { best = i; bestS = s }
-        }
+        if (!taken(i) && (best == -1 || scores(i) > bestS)) { best = i; bestS = scores(i) }
         i += 1
       }
       taken(best) = true

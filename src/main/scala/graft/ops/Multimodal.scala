@@ -99,7 +99,8 @@ object Multimodal {
         val pixelOff = bb.getInt(10)
         val topDown = bb.getInt(22) < 0
         val rowSize = ((w * 3 + 3) / 4) * 4
-        if (pixelOff + rowSize.toLong * h > bytes.length) None
+        // lower bound too: a corrupt negative pixel offset must not pass
+        if (pixelOff < 54 || pixelOff + rowSize.toLong * h > bytes.length) None
         else Some((w, h, pixelOff, rowSize, topDown))
       }
     }
@@ -204,13 +205,14 @@ object Multimodal {
           val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
           val n = if (bytes == null) 0L else bytes.length.toLong
           def invalid = MediaMeta(id, mime, "unknown", -1, -1, -1, -1, -1L, n, valid = false)
-          parseBmp(bytes).map { case (w, h, _) =>
+          try parseBmp(bytes).map { case (w, h, _) =>
             MediaMeta(id, mime, "bmp", w, h, -1, -1, -1L, n, valid = true)
           }.orElse(parseWav(bytes).map { case (ch, rate, ms) =>
             MediaMeta(id, mime, "wav", -1, -1, ch, rate, ms, n, valid = true)
           }).orElse(decodeHeader(bytes).map { case (w, h, _) =>
             MediaMeta(id, mime, "grft", w, h, -1, -1, -1L, n, valid = true)
           }).getOrElse(invalid)
+          catch { case _: Exception => invalid } // malformed blob != failed stage
         }
       }
   }
@@ -251,10 +253,12 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          resizeBmp(bytes, newW, newH) match {
+          // row-at-a-time failure isolation: one malformed blob passes
+          // through instead of aborting the stage
+          try resizeBmp(bytes, newW, newH) match {
             case Some(out) => ResizedMedia(id, out, resized = true)
             case None => ResizedMedia(id, bytes, resized = false)
-          }
+          } catch { case _: Exception => ResizedMedia(id, bytes, resized = false) }
         }
       }
   }
@@ -267,10 +271,10 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          bmpChannelMeans(bytes) match {
+          try bmpChannelMeans(bytes) match {
             case Some((b, g, rr)) => ImageFeatures(id, b, g, rr, valid = true)
             case None => ImageFeatures(id, -1, -1, -1, valid = false)
-          }
+          } catch { case _: Exception => ImageFeatures(id, -1, -1, -1, valid = false) }
         }
       }
   }

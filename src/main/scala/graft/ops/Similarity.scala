@@ -103,11 +103,12 @@ object Similarity {
     * centroid. Fully deterministic: same data -> same centroids. */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
                      nLists: Int, maxSamples: Int = 8192, iters: Int = 8): Array[Array[Double]] = {
-    // double-cast in the plan so float AND double vector columns both work
-    val rows = df.orderBy(col(idCol)).limit(maxSamples)
+    // double-cast in the plan so float AND double vector columns both
+    // work; NULL/empty vectors are excluded before sampling
+    val rows = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .orderBy(col(idCol)).limit(maxSamples)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
-      .filter(_.nonEmpty)
     require(rows.length >= nLists, s"need >= $nLists sample vectors, got ${rows.length}")
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)

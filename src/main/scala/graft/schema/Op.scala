@@ -65,6 +65,6 @@ object Op {
   private val byName: Map[String, Op] = all.map(o => o.opName -> o).toMap
 
   def forName(name: String): Op =
-    byName.getOrElse(name.toLowerCase,
+    byName.getOrElse(name.toLowerCase(java.util.Locale.ROOT),
       throw new IllegalArgumentException(s"Unknown op: $name"))
 }
