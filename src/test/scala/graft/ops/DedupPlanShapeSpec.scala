@@ -69,6 +69,22 @@ class DedupPlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("LSH and IVF top-k join on bucket/cell keys, never cross-join") {
+    import org.apache.spark.sql.functions._
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", nLists = 8)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3, centroids, nProbe = 2)
+    for (df <- Seq(lsh, ivf)) {
+      val tree = planTree(executed(df))
+      assert(!tree.exists(_.isInstanceOf[CartesianProductExec]),
+        "approximate top-k must join on bucket/cell keys")
+    }
+  }
+
   test("brute-force top-k broadcasts the query side") {
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
       .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
