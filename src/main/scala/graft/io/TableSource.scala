@@ -27,7 +27,12 @@ trait TableSource {
 class ParquetPartitionedSource(spark: SparkSession, root: String) extends TableSource {
 
   /** Snapshot id = stable digest of the partition directory listing +
-    * file sizes (an mtime-free content fingerprint). */
+    * file sizes + modification times. mtime matters: a file rewritten in
+    * place with same-length content would otherwise keep its snapshot id
+    * and the resumable runner would skip re-validating changed data —
+    * a false "already validated" is strictly worse than the false
+    * re-validation an mtime-only touch causes. (A real Iceberg catalog
+    * supplies real snapshot ids; this is the stand-in.) */
   override def snapshotId: String = {
     val dir = new java.io.File(root)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -35,11 +40,9 @@ class ParquetPartitionedSource(spark: SparkSession, root: String) extends TableS
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq else Seq(f)
       }
       .filter(_.getName.endsWith(".parquet"))
-      .map(f => s"${f.getParentFile.getName}/${f.getName}:${f.length()}")
+      .map(f => s"${f.getParentFile.getName}/${f.getName}:${f.length()}:${f.lastModified()}")
       .sorted
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(files.mkString("\n").getBytes("UTF-8"))
-    md.digest().take(8).map("%02x".format(_)).mkString
+    graft.io.Digests.sha8(files.mkString("\n"))
   }
 
   override def partitionIds(): Seq[Int] = {

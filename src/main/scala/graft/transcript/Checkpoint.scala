@@ -69,9 +69,6 @@ class CheckpointManifest(path: String) {
 object CheckpointManifest {
   /** Stable hash of the active constraint set — changing the suite
     * invalidates prior completions. */
-  def constraintHash(constraintIds: Seq[String]): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(constraintIds.sorted.mkString("\n").getBytes("UTF-8"))
-    md.digest().take(8).map("%02x".format(_)).mkString
-  }
+  def constraintHash(constraintIds: Seq[String]): String =
+    graft.io.Digests.sha8(constraintIds.sorted.mkString("\n"))
 }

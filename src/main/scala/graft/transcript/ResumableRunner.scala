@@ -10,6 +10,17 @@ import graft.io.TableSource
   * commits a manifest entry per completed partition — so a killed and
   * restarted run does no repeated work.
   *
+  * '''Partitioning contract''': conversations must not span source
+  * partitions (partition by a conversation-derived key — conv hash, or a
+  * bucketing that closes conversations before the partition seals, e.g.
+  * day-of-conversation-END). Per-partition sequence/duplicate checks are
+  * only complete within one partition: a conversation split across two
+  * partitions would see false gap verdicts on the later slice and miss
+  * cross-partition duplicates. The same contract is what makes the
+  * incremental skip sound — Iceberg-style engines impose it identically
+  * for partition-local maintenance. [[graft.gen.TranscriptGen]] and the
+  * CLI's hive layout both partition by conversation hash.
+  *
   * @param sink optional callback receiving each validated partition's
   *   violations (e.g. parquet writer); runs before the manifest commit so a
   *   crash between the two re-validates (at-least-once, idempotent by
@@ -52,6 +63,10 @@ class ResumableRunner(
         violations = if (verdict.isNullAt(1)) 0L else verdict.getLong(1),
         wallMs = (System.nanoTime() - t0) / 1000000L)
       manifest.record(entry)
+      // release this partition's persisted seq/violations before moving on
+      // — over thousands of partitions the leaked caches would crowd out
+      // executor storage
+      report.cleanup()
       entry
     }
     RunSummary(validated, skip,

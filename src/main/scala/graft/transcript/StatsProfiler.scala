@@ -64,19 +64,31 @@ object StatsProfiler {
         max(col(c)).cast("string").as(s"_max_$c"))
     }
     val total = count(lit(1)).as("_total")
-    val row = df.agg(total, aggs: _*)
-    // flatten the single wide row to one row per column via stack-like union
-    val perCol = cols.map { c =>
-      row.select(
-        lit(c).as("column"),
-        col(s"_cnt_$c").as("count"),
-        col(s"_null_$c").as("nulls"),
-        (col(s"_null_$c").cast("double") / col("_total")).as("null_rate"),
-        col(s"_dist_$c").as("approx_distinct"),
-        col(s"_min_$c").as("min"),
-        col(s"_max_$c").as("max"))
+    // ONE aggregate job; the single wide row is collected and re-shaped
+    // driver-side (N tiny local rows). The previous union-of-N-selects
+    // relied on runtime exchange reuse to avoid N full re-aggregations —
+    // plan-fragile for zero benefit on a 1-row result.
+    val r = df.agg(total, aggs: _*).collect()(0)
+    val tot = r.getAs[Long]("_total")
+    val rows = cols.map { c =>
+      val nulls = r.getAs[Long](s"_null_$c")
+      org.apache.spark.sql.Row(
+        c, r.getAs[Long](s"_cnt_$c"), nulls,
+        if (tot == 0) 0.0 else nulls.toDouble / tot,
+        r.getAs[Long](s"_dist_$c"),
+        r.getAs[String](s"_min_$c"), r.getAs[String](s"_max_$c"))
     }
-    perCol.reduce(_ union _)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nulls", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("null_rate", org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("approx_distinct", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("min", org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("max", org.apache.spark.sql.types.StringType, nullable = true)))
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
   }
 
   // ---- histograms (drift inputs) -------------------------------------------

@@ -116,14 +116,13 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
           col("_f.expected").as("expected"), col("partition_id")) ++
           extraCols.map(col)): _*)
 
-  /** Step 1: all row-level constraints in one codegen'd pass, no shuffle.
-    * `extraCols` are carried through to the violation rows (e.g. the event
-    * time for streaming windows). */
-  def rowViolations(df0: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
-    val df = withPartId(df0)
+  /** (pass predicate, violation struct) per row constraint — the single
+    * source of truth shared by [[rowViolations]] and [[rowPass]]. Pass
+    * predicates must be null-free: a NULL verdict would be silently
+    * dropped by explodeFails' filter AND pass a survivors filter. */
+  private def rowChecks: Seq[(Column, Column)] = {
     val roles = cfg.roles
-    // (pass predicate, violation struct) — pass must be null-free
-    val checks: Seq[(Column, Column)] = Seq(
+    Seq(
       col("conv_id").isNotNull ->
         vioStruct(NullConvId, col("conv_id").isNotNull, "conv_id",
           lit(null).cast("string"), lit("non-null")),
@@ -145,11 +144,25 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
       col("ts").isNotNull ->
         vioStruct(NullTs, col("ts").isNotNull, "ts",
           lit(null).cast("string"), lit("non-null")),
-      (col("tool").isNull || col("role") === "tool") ->
-        vioStruct(ToolRole, col("tool").isNull || col("role") === "tool", "tool",
+      // coalesce: role=NULL with tool set must FAIL, not evaluate to a
+      // NULL verdict that explodeFails would silently drop
+      coalesce(col("tool").isNull || col("role") === "tool", lit(false)) ->
+        vioStruct(ToolRole,
+          coalesce(col("tool").isNull || col("role") === "tool", lit(false)), "tool",
           col("tool"), lit("tool set only when role = 'tool'")))
+  }
+
+  /** Step 1: all row-level constraints in one codegen'd pass, no shuffle.
+    * `extraCols` are carried through to the violation rows (e.g. the event
+    * time for streaming windows). */
+  def rowViolations(df0: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
+    val df = withPartId(df0)
+    val checks = rowChecks
     explodeFails(df, checks.map(_._2), checks.map(c => !c._1), extraCols)
   }
+
+  /** Conjunction of every row-level pass predicate (null-free). */
+  def rowPass: Column = rowChecks.map(_._1).reduce(_ && _)
 
   /** One-pass health check: per-constraint row-violation counts AND
     * per-column stats (count/nulls/min/max/HLL) in a SINGLE aggregation
@@ -253,12 +266,17 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
   /** Surviving rows: turns of conversations whose every check passed (the
     * cleaned table downstream consumers read; per-row `text` equality
     * under stable (conv_id, turn_idx) ordering is the pipeline's content
-    * invariant — validation must never rewrite surviving rows). Semi-join
-    * at the conversation grain; broadcast when the passing-conv dim is
-    * small, shuffle otherwise (Spark/AQE decides). */
+    * invariant — validation must never rewrite surviving rows).
+    * "Every check" means BOTH the conversation verdicts (dup/gap/ts) AND
+    * the row-level predicates — a passing conversation can still carry a
+    * null-text/bad-role row, which must not survive. Row filter is a
+    * codegen'd map-side pass; the semi-join runs at the conversation
+    * grain (broadcast when the passing-conv dim is small, shuffle
+    * otherwise — Spark/AQE decides). */
   def cleanRows(df: DataFrame, convVerdicts: DataFrame): DataFrame =
-    df.join(convVerdicts.filter(col("pass")).select(col("conv_id")),
-      Seq("conv_id"), "left_semi")
+    df.filter(rowPass)
+      .join(convVerdicts.filter(col("pass")).select(col("conv_id")),
+        Seq("conv_id"), "left_semi")
 
   /** Full suite. */
   def validate(df0: DataFrame, convKeys: Option[DataFrame] = None): TranscriptReport = {

@@ -74,15 +74,17 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
 
     val violations = ListBuffer.empty[DataFrame]
     val cachedDfs = ListBuffer.empty[DataFrame]
+    var droppedCols: Seq[String] = Nil // set by S1; abort paths report it too
     def cached(d: DataFrame): DataFrame = { val c = d.cache(); cachedDfs += c; c }
     def abort(): ValidationResult =
-      ValidationResult(unionAll(spark, violations.toList), None, Nil, cachedDfs.toSeq)
+      ValidationResult(unionAll(spark, violations.toList), None, droppedCols, cachedDfs.toSeq)
 
     // ---- S1: conform columns (rename titles, drop unknown) ----------------
     val colNameMap: Map[String, String] =
       model.edges.values.map(e => e.title.getOrElse(e.name) -> e.name).toMap
     val dataColsIn = input.columns.filterNot(_ == rowId)
     val (known, dropped) = dataColsIn.partition(colNameMap.contains)
+    droppedCols = dropped.toSeq
     if (dropped.nonEmpty)
       System.err.println(s"Warning: Table '${model.name}' had extra columns: ${dropped.mkString(",")}")
     if (known.isEmpty) return abort() // all columns dropped ⇒ empty table (loader.py:64-65)

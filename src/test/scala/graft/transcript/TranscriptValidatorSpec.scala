@@ -184,4 +184,37 @@ class TranscriptValidatorSpec extends SparkSuite {
     assert(vByC.getOrElse(TsMonotone, 0L) > 0)
     data.unpersist()
   }
+
+  test("clean rows exclude row-level violators inside passing conversations") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // conv c1 is sequence-clean (turns 0..2) but turn 1 has NULL text and
+    // turn 2 pairs tool with a non-tool role
+    val data = Seq(
+      ("c1", 0, "user", "hi", null: String, now),
+      ("c1", 1, "assistant", null: String, null: String, now),
+      ("c1", 2, "user", "bye", "bash", now)
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val v = new TranscriptValidator(TranscriptSuiteConfig(persistSeq = false))
+    val verdicts = v.convVerdicts(v.seqTable(data))
+    assert(verdicts.filter(col("pass")).count() == 1, "c1 is sequence-clean")
+    val survivors = v.cleanRows(data, verdicts).select("turn_idx")
+      .collect().map(_.getInt(0)).toSet
+    assert(survivors === Set(0), s"row violators must not survive: $survivors")
+  }
+
+  test("ToolRole fires when role is NULL and tool is set (null-free verdict)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val data = Seq(("c1", 0, null: String, "txt", "bash", now))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val v = new TranscriptValidator(TranscriptSuiteConfig(persistSeq = false))
+    val ids = v.rowViolations(data).select("constraint_id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids.contains(Constraints.NullRole))
+    assert(ids.contains(Constraints.ToolRole),
+      s"NULL role + tool set must fail ToolRole, got $ids")
+  }
 }
