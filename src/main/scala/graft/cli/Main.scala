@@ -132,7 +132,15 @@ object Main {
       .distinct.sorted.take(10)
     val vioCols = rows.flatMap(r => Option(r.getAs[String]("col"))).distinct
     if (vioRowIds.nonEmpty && vioCols.nonEmpty) {
-      val keep = withIds.columns.filter(c => c == "_row" || vioCols.contains(c))
+      // violation col values are post-rename edge NAMES; the source data
+      // may carry the edges' TITLES — map back so titled schemas still get
+      // a populated slice
+      val srcColOf: Map[String, String] = schema.models.get(model)
+        .map(_.edges.values.map(e => e.name -> e.title.getOrElse(e.name)).toMap)
+        .getOrElse(Map.empty)
+      val keepSrc = vioCols.flatMap(srcColOf.get).toSet
+      val keep = withIds.columns.filter(c =>
+        c == "_row" || vioCols.contains(c) || keepSrc.contains(c))
       withIds.filter(col("_row").isin(vioRowIds: _*))
         .select(keep.map(col): _*).orderBy("_row").show(10, truncate = false)
       if (totalViolations > vioRowIds.length)

@@ -66,7 +66,7 @@ object TranscriptGen {
     val seed = cfg.seed
 
     val exploded = convs
-      .select(col("conv_id"), col("partition_id"),
+      .select(col("conv_id"), col("partition_id"), col("conv_len"),
         explode(sequence(lit(0), col("conv_len") - 1)).as("turn0"))
 
     def gate(rate: Double, salt: String) =
@@ -97,7 +97,11 @@ object TranscriptGen {
       when(gate(cfg.orphanConvRate, "orphan-conv"), concat(lit("orphan-"), col("conv_id")))
         .otherwise(col("conv_id")).as("conv_id"),
       when(gate(cfg.negTurnRate, "neg"), lit(-1))
-        .when(gate(cfg.gapRate, "gap"), col("turn0") + 1)
+        // gap = shift BEYOND the conversation's last turn: shifting to
+        // turn0+1 would collide with the genuine next turn and inject an
+        // unasked-for duplicate key alongside the gap (each rate must gate
+        // exactly its own violation kind)
+        .when(gate(cfg.gapRate, "gap"), col("turn0") + col("conv_len"))
         .otherwise(col("turn0")).cast("int").as("turn_idx"),
       when(gate(cfg.nullRoleRate, "null-role"), lit(null: String))
         .when(gate(cfg.badRoleRate, "bad-role"), lit("robot"))

@@ -16,16 +16,24 @@ object Dedup {
 
   /** Exact duplicate groups by full-text hash (xxhash64 for grouping, which
     * is collision-tolerable for dedup; use `sha2` for audit-grade ids).
-    * Returns (keep_id, dup_id) pairs, keep = min id of the group. */
+    * Returns (keep_id, dup_id) pairs, keep = min id of the group.
+    * Scalar min/count aggregate + join-back — NOT collect_list, whose
+    * aggregation buffer is O(group): one boilerplate text shared by 1% of
+    * a web corpus would OOM the executor (same rule as
+    * [[boundedBucketPairs]]). The join-back reuses the aggregate's hash
+    * partitioning. */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val groups = df
+    val hashed = df
       .select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("_h"))
+      .repartition(col("_h"))
+    val groups = hashed
       .groupBy(col("_h"))
-      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("_ids"),
-        count(lit(1)).as("n"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
-    groups.select(col("keep_id"), explode(col("_ids")).as("dup_id"))
-      .filter(col("dup_id") =!= col("keep_id"))
+      .select(col("_h"), col("keep_id"))
+    hashed.join(groups.hint("shuffle_hash"), "_h")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("keep_id"), col("doc_id").as("dup_id"))
   }
 
   // ---- shingling + MinHash ---------------------------------------------------
@@ -104,6 +112,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a zero or ragged " +
+        "rows-per-band silently degenerates the banding (empty-slice buckets)")
     val rowsPerBand = numHashes / bands
     // native fused expression: ~500x the throughput of the HOF formulation
     // (interpreted lambdas), see graft.functions.ShingleMinHash

@@ -33,10 +33,15 @@ object Similarity {
   def bruteForceTopK(items: DataFrame, itemId: String, itemVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int): DataFrame = {
-    val scored = items.crossJoin(broadcast(queries))
+    // rename each side before the cross join: items and queries routinely
+    // share column names (both are embedding tables), which would make the
+    // post-join references ambiguous
+    val i = items.select(col(itemId).as("item_id"), col(itemVec).as("_iv"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
+    val scored = i.crossJoin(broadcast(q))
       .select(
-        col(queryId).as("query_id"), col(itemId).as("item_id"),
-        cosine(col(itemVec), col(queryVec)).as("score"))
+        col("query_id"), col("item_id"),
+        cosine(col("_iv"), col("_qv")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -64,7 +64,29 @@ object KyeParser {
     val toks = Lexer.tokenize(source, reporter)
     val stmts = new Parser(toks, reporter).parseStatements()
     if (reporter.errors.nonEmpty) Left(reporter.errors.toList)
-    else Right(Builder.build(Desugar.run(stmts)))
+    else
+      // semantic (desugar/builder) failures surface as reported compile
+      // errors too — a user typo must never escape as a raw stack trace
+      try Right(Builder.build(Desugar.run(stmts)))
+      catch {
+        case ParseError(msg, line) =>
+          Left(List(CompileError(msg, locOfLine(source, line))))
+        case e: IllegalArgumentException =>
+          Left(List(CompileError(e.getMessage, Loc(1, 0, 0))))
+      }
+  }
+
+  /** Loc spanning the whole given 1-based source line (for errors that
+    * only carry a line number). */
+  private def locOfLine(source: String, line: Int): Loc = {
+    var start = 0
+    var l = 1
+    while (l < line && start < source.length) {
+      val nl = source.indexOf('\n', start)
+      if (nl == -1) l = line else { start = nl + 1; l += 1 }
+    }
+    val end0 = source.indexOf('\n', start)
+    Loc(line, start, if (end0 == -1) source.length else end0)
   }
 
   def compile(source: String): CompiledSchema =
@@ -116,7 +138,13 @@ object KyeParser {
         val c = src(i)
         tokStart = i; tokLine = line
         if (c == '\n') { line += 1; i += 1 }
-        else if (c.isWhitespace || c == ',') i += 1 // commas are soft delimiters
+        else if (c == ',') {
+          // comma is a soft delimiter but DOES end the previous value, so a
+          // following `/…/` lexes as a regex (e.g. `matches(name, /a+/)`),
+          // not as division
+          i += 1; prev = TPunct(",", Loc(line, i - 1, i))
+        }
+        else if (c.isWhitespace) i += 1
         else if (c == '#') { while (i < src.length && src(i) != '\n') i += 1 }
         else if (c == '"') {
           val sb = new StringBuilder; i += 1
@@ -152,7 +180,13 @@ object KyeParser {
             while (i < src.length && src(i).isDigit) i += 1
           }
           // NUMBER literals always become floats (kyepy parser.py:123-124)
-          push(TNum(src.substring(start, i).toDouble, loc()))
+          val text = src.substring(start, i)
+          val value =
+            try text.toDouble
+            catch { case _: NumberFormatException =>
+              reporter.report(s"Invalid number literal '$text'", loc()); 0.0
+            }
+          push(TNum(value, loc()))
         }
         else if (c.isUpper) {
           val start = i
@@ -440,6 +474,10 @@ object KyeParser {
         require(lt == rt, s"mixed types in edge expression for $edge")
         (EBinary(op, le, re), lt)
       case EUnary("!", r) =>
+        // reference parity: desugar.py:58-64 builds `edge != expr.right`
+        // from the RAW right operand (its recursive create_assertion result
+        // is discarded) — compound operands like !("a"|"b") therefore keep
+        // the reference's literal-disjunction shape, not a distributed NOT
         val (_, rt) = createAssertion(r, edge)
         (EBinary("!=", EEdgeId(edge), r), rt)
       case ELit(v) =>
@@ -526,6 +564,9 @@ object KyeParser {
     private def toPostfix(e: Expr): List[Cmd] = {
       def litVal(x: Expr): Option[Any] = x match {
         case ELit(v) => Some(v)
+        // a regex literal in argument position lowers to its pattern
+        // string (the reference grammar accepts `matches(col, /re/)`)
+        case ERegex(p) => Some(p)
         case _ => None
       }
       e match {

@@ -36,6 +36,7 @@ class DedupPlanShapeSpec extends SparkSuite {
 
   test("bucketed dedup plans carry no collect_list/collect_set buffers") {
     val plans = Seq(
+      "exact" -> Dedup.exactDuplicates(docs, "doc_id", "text"),
       "minhash" -> Dedup.minHashNearDuplicates(docs, "doc_id", "text",
         shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7),
       "simhash" -> Dedup.simHashNearDuplicates(docs, "doc_id", "text"),

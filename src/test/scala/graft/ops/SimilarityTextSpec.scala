@@ -70,6 +70,15 @@ class SimilarityTextSpec extends SparkSuite {
     emb.unpersist()
   }
 
+  test("brute-force top-k works when items and queries share column names") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2) // same schema, same names
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("item_id")).toMap
+    assert(top == Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("IVF top-k: deterministic centroids, self-recall, clustered recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", nLists = 16)

@@ -215,4 +215,32 @@ class KyeParserSpec extends AnyFunSuite {
       assert(errs.forall(e => e.loc.start >= 0 && e.loc.end <= src.length + 1))
     }
   }
+
+  test("regex literal as a call argument lexes as regex, not division") {
+    val schema = KyeParser.compile(
+      """M(id) {
+        |  id: Number
+        |  name: String
+        |  assert matches(name, /a+b/)
+        |}""".stripMargin)
+    val a = schema.models("M").assertions.head
+    assert(a.expr.exists(c => c.op == graft.schema.Op.MATCHES && c.args == List("a+b")),
+      s"expected matches with inlined pattern, got ${a.expr}")
+  }
+
+  test("malformed number literals report instead of crashing the lexer") {
+    val errs = KyeParser.compileEither("M(id) { id: Number\n assert id > 1.2.3 }")
+      .left.getOrElse(Nil)
+    assert(errs.exists(_.msg.contains("Invalid number literal")), errs.toString)
+  }
+
+  test("builder errors surface as CompileException, not raw stack traces") {
+    val ex = intercept[KyeParser.CompileException](
+      KyeParser.compile("M(id) { id: Undefined }"))
+    assert(ex.errors.head.msg.contains("Undefined"))
+    val ex2 = intercept[KyeParser.CompileException](
+      KyeParser.compile("name: String"))
+    assert(ex2.errors.head.msg.contains("outside a model"))
+    assert(ex2.errors.head.loc.line == 1)
+  }
 }

@@ -76,4 +76,20 @@ class PropertySpec extends SparkSuite {
       report.cleanup(); data.unpersist()
     }
   }
+
+  test("gap injection is pure: gapRate > 0 with dupRate = 0 produces NO dup-key violations") {
+    forAll(seeds, n = 3) { (seed: Long) =>
+      val cfg = TranscriptGen.GenConfig(numConvs = 200, seed = seed,
+        gapRate = 0.05, dupRate = 0.0)
+      val data = TranscriptGen.transcripts(spark, cfg)
+      val report = new TranscriptValidator().validate(data)
+      val byKind = report.violations.groupBy("constraint_id").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      report.cleanup()
+      assert(byKind.getOrElse(Constraints.DupKey, 0L) == 0L,
+        s"seed=$seed: gap injection leaked duplicate keys: $byKind")
+      assert(byKind.getOrElse(Constraints.SeqGap, 0L) > 0L,
+        s"seed=$seed: expected gaps, got $byKind")
+    }
+  }
 }
