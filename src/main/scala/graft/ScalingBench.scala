@@ -45,14 +45,23 @@ object ScalingBench {
       dupRate = 1e-3, gapRate = 1e-3, nullRoleRate = 5e-4, badRoleRate = 5e-4,
       negTurnRate = 2e-4, nullTextRate = 5e-4, tsRegressRate = 5e-4,
       orphanConvRate = 2e-4)
-    if (!Files.exists(Paths.get(dataDir))) {
-      println(s"[bench] generating $numConvs convs -> $dataDir")
-      ParquetPartitionedSource.write(TranscriptGen.transcripts(gen, cfg), dataDir)
-    }
+    // dataset + conv-keys + config marker regenerate TOGETHER: a partial
+    // prior run or a numConvs change must never pair a cached dataset with
+    // keys generated for a different config (every mismatched conversation
+    // would count as an orphan violation and skew the timed legs)
     val convKeysPath = s"${dataDir}-convkeys"
-    if (!Files.exists(Paths.get(convKeysPath)))
+    val cfgMarker = Paths.get(s"${dataDir}-cfg")
+    val cfgTag = s"numConvs=$numConvs seed=${cfg.seed}"
+    val cached = Files.exists(Paths.get(dataDir)) && Files.exists(Paths.get(convKeysPath)) &&
+      Files.exists(cfgMarker) && Files.readString(cfgMarker).trim == cfgTag
+    if (!cached) {
+      println(s"[bench] generating $numConvs convs -> $dataDir")
+      Files.deleteIfExists(cfgMarker)
+      ParquetPartitionedSource.write(TranscriptGen.transcripts(gen, cfg), dataDir)
       TranscriptGen.conversations(gen, cfg).select("conv_id")
         .write.mode("overwrite").parquet(convKeysPath)
+      Files.writeString(cfgMarker, cfgTag)
+    }
     val totalRows = gen.read.option("basePath", dataDir).parquet(dataDir).count()
     gen.stop()
 
@@ -134,12 +143,12 @@ object ScalingBench {
          |"rows":$totalRows,"n_cores":$m,
          |"e2e":{"localN_sec":${e2eN.t},"local4N_sec":${e2eM.t},
          |"throughputN":${e2eN.thr.round},"throughput4N":${e2eM.thr.round},
-         |"scaling_efficiency":${"%.3f".format(effE2e)}},
+         |"scaling_efficiency":${"%.3f".formatLocal(java.util.Locale.ROOT, effE2e)}},
          |"stats_pred":{"localN_sec":${spN.t},"local4N_sec":${spM.t},
          |"throughputN":${spN.thr.round},"throughput4N":${spM.thr.round},
-         |"scaling_efficiency":${"%.3f".format(effSp)}},
+         |"scaling_efficiency":${"%.3f".formatLocal(java.util.Locale.ROOT, effSp)}},
          |"pure_compute_ceiling":{"localN_sec":$calN,"local4N_sec":$calM,
-         |"scaling_efficiency":${"%.3f".format(effCal)}}}""".stripMargin.replace("\n", "")
+         |"scaling_efficiency":${"%.3f".formatLocal(java.util.Locale.ROOT, effCal)}}}""".stripMargin.replace("\n", "")
     println(json)
 
     val md =
@@ -161,7 +170,7 @@ object ScalingBench {
          |
          || leg | local[$m] (s) | local[${m * 4}] (s) | N->4N efficiency |
          || --- | --- | --- | --- |
-         || pure compute | ${"%.2f".format(calN)} | ${"%.2f".format(calM)} | **${"%.3f".format(effCal)}** |
+         || pure compute | ${"%.2f".formatLocal(java.util.Locale.ROOT, calN)} | ${"%.2f".formatLocal(java.util.Locale.ROOT, calM)} | **${"%.3f".formatLocal(java.util.Locale.ROOT, effCal)}** |
          |
          |## Full constraint suite, end-to-end from parquet
          |
@@ -170,10 +179,10 @@ object ScalingBench {
          |
          || config | wall (s) | throughput (turns/s) |
          || --- | --- | --- |
-         || local[$m]  | ${"%.2f".format(e2eN.t)} | ${e2eN.thr.round} |
-         || local[${m * 4}] | ${"%.2f".format(e2eM.t)} | ${e2eM.thr.round} |
+         || local[$m]  | ${"%.2f".formatLocal(java.util.Locale.ROOT, e2eN.t)} | ${e2eN.thr.round} |
+         || local[${m * 4}] | ${"%.2f".formatLocal(java.util.Locale.ROOT, e2eM.t)} | ${e2eM.thr.round} |
          |
-         |efficiency = throughput4N / (4 x throughputN) = **${"%.3f".format(effE2e)}**
+         |efficiency = throughput4N / (4 x throughputN) = **${"%.3f".formatLocal(java.util.Locale.ROOT, effE2e)}**
          |
          |## Per-column stats + predicate-eval stage (the north-rule criterion)
          |
@@ -185,11 +194,11 @@ object ScalingBench {
          |
          || config | wall (s)/pass | throughput (turns/s) |
          || --- | --- | --- |
-         || local[$m]  | ${"%.2f".format(spN.t)} | ${spN.thr.round} |
-         || local[${m * 4}] | ${"%.2f".format(spM.t)} | ${spM.thr.round} |
+         || local[$m]  | ${"%.2f".formatLocal(java.util.Locale.ROOT, spN.t)} | ${spN.thr.round} |
+         || local[${m * 4}] | ${"%.2f".formatLocal(java.util.Locale.ROOT, spM.t)} | ${spM.thr.round} |
          |
-         |efficiency = **${"%.3f".format(effSp)}** (target >= 0.8; hardware
-         |ceiling ${"%.3f".format(effCal)})
+         |efficiency = **${"%.3f".formatLocal(java.util.Locale.ROOT, effSp)}** (target >= 0.8; hardware
+         |ceiling ${"%.3f".formatLocal(java.util.Locale.ROOT, effCal)})
          |""".stripMargin
     Files.createDirectories(Paths.get(outMd).toAbsolutePath.getParent)
     Files.writeString(Paths.get(outMd), md)

@@ -15,10 +15,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // stale-output guard: a query failing BEFORE its overwrite executes
+      // must not leave the previous run's parquet in place — the driver
+      // would compare stale results and report a false green
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        nFailed += 1
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -38,5 +49,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed quer${if (nFailed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

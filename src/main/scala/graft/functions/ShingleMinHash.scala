@@ -33,7 +33,8 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    new GenericArrayData(ShingleMinHash.signature(text, k, numHashes))
+    val sig = ShingleMinHash.signature(text, k, numHashes)
+    if (sig == null) null else new GenericArrayData(sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
@@ -61,10 +62,12 @@ object ShingleMinHash {
     mix(h)
   }
 
-  def signature(text: String, k: Int, numHashes: Int): Array[Long] = {
+  /** Token hashes of lower-cased letter/digit runs — THE tokenizer shared
+    * by every shingle-based operator (signature + exact-Jaccard must stay
+    * bit-identical). Returns (hashes, count). */
+  private def tokenHashes(text: String): (Array[Long], Int) = {
     val lower = text.toLowerCase(java.util.Locale.ROOT)
-    // token hashes without materializing token strings
-    var tokenHashes = new Array[Long](16)
+    var hashes = new Array[Long](16)
     var nTok = 0
     var i = 0
     val len = lower.length
@@ -73,39 +76,54 @@ object ShingleMinHash {
       val start = i
       while (i < len && Character.isLetterOrDigit(lower.charAt(i))) i += 1
       if (i > start) {
-        if (nTok == tokenHashes.length) {
+        if (nTok == hashes.length) {
           val bigger = new Array[Long](nTok * 2)
-          System.arraycopy(tokenHashes, 0, bigger, 0, nTok)
-          tokenHashes = bigger
+          System.arraycopy(hashes, 0, bigger, 0, nTok)
+          hashes = bigger
         }
-        tokenHashes(nTok) = hashRange(lower, start, i)
+        hashes(nTok) = hashRange(lower, start, i)
         nTok += 1
       }
     }
+    (hashes, nTok)
+  }
+
+  /** Fold every k-shingle hash into `sink` (degenerate short doc: one
+    * shingle over whatever tokens exist; zero tokens: nothing — a shared
+    * synthetic hash would declare all token-free docs duplicates of each
+    * other). */
+  @inline private def foldShingles(toks: Array[Long], nTok: Int, k: Int)(sink: Long => Unit): Unit = {
+    if (nTok >= k) {
+      var s = 0
+      while (s <= nTok - k) {
+        var sh = FNV_OFFSET
+        var j = 0
+        while (j < k) { sh = (sh ^ toks(s + j)) * FNV_PRIME; j += 1 }
+        sink(mix(sh))
+        s += 1
+      }
+    } else if (nTok > 0) {
+      var sh = FNV_OFFSET
+      var j = 0
+      while (j < nTok) { sh = (sh ^ toks(j)) * FNV_PRIME; j += 1 }
+      sink(mix(sh))
+    }
+  }
+
+  /** null for token-free documents (the expression result is NULL —
+    * callers must exclude such docs from bucket joins rather than let
+    * them all collide). */
+  def signature(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val (toks, nTok) = tokenHashes(text)
+    if (nTok == 0) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    @inline def update(shingleHash: Long): Unit = {
+    foldShingles(toks, nTok, k) { shingleHash =>
       var j = 0
       while (j < numHashes) {
         val h = mix(shingleHash + GOLDEN * j)
         if (h < mins(j)) mins(j) = h
         j += 1
       }
-    }
-    if (nTok >= k) {
-      var s = 0
-      while (s <= nTok - k) {
-        var sh = FNV_OFFSET
-        var j = 0
-        while (j < k) { sh = (sh ^ tokenHashes(s + j)) * FNV_PRIME; j += 1 }
-        update(mix(sh))
-        s += 1
-      }
-    } else {
-      // degenerate short doc: one shingle over whatever tokens exist
-      var sh = FNV_OFFSET
-      var j = 0
-      while (j < nTok) { sh = (sh ^ tokenHashes(j)) * FNV_PRIME; j += 1 }
-      update(mix(sh))
     }
     mins
   }
@@ -122,44 +140,11 @@ object ShingleMinHash {
     * materialization, identical set semantics (64-bit collisions are
     * negligible at any corpus size that fits a cluster). */
   def shingleHashSet(text: String, k: Int): Array[Long] = {
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
-    var tokenHashes = new Array[Long](16)
-    var nTok = 0
-    var i = 0
-    val len = lower.length
-    while (i < len) {
-      while (i < len && !Character.isLetterOrDigit(lower.charAt(i))) i += 1
-      val start = i
-      while (i < len && Character.isLetterOrDigit(lower.charAt(i))) i += 1
-      if (i > start) {
-        if (nTok == tokenHashes.length) {
-          val bigger = new Array[Long](nTok * 2)
-          System.arraycopy(tokenHashes, 0, bigger, 0, nTok)
-          tokenHashes = bigger
-        }
-        tokenHashes(nTok) = hashRange(lower, start, i)
-        nTok += 1
-      }
-    }
+    val (toks, nTok) = tokenHashes(text)
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = new scala.collection.mutable.ArrayBuffer[Long]()
-    @inline def add(h: Long): Unit = if (seen.add(h)) out += h
-    if (nTok >= k) {
-      var s = 0
-      while (s <= nTok - k) {
-        var sh = FNV_OFFSET
-        var j = 0
-        while (j < k) { sh = (sh ^ tokenHashes(s + j)) * FNV_PRIME; j += 1 }
-        add(mix(sh))
-        s += 1
-      }
-    } else {
-      var sh = FNV_OFFSET
-      var j = 0
-      while (j < nTok) { sh = (sh ^ tokenHashes(j)) * FNV_PRIME; j += 1 }
-      add(mix(sh))
-    }
-    out.toArray
+    foldShingles(toks, nTok, k) { h => if (seen.add(h)) out += h }
+    out.toArray // empty for token-free docs (no index rows, no pairs)
   }
 }
 

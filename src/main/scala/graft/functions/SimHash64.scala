@@ -15,8 +15,12 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any =
-    SimHash64.fingerprint(input.asInstanceOf[UTF8String].toString)
+  override protected def nullSafeEval(input: Any): Any = {
+    // NULL for token-free text: every such doc would otherwise share
+    // fingerprint 0 and be declared a near-duplicate of all the others
+    val fp = SimHash64.fingerprintOrNull(input.asInstanceOf[UTF8String].toString)
+    if (fp == null) null else fp
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -34,8 +38,15 @@ object SimHash64 {
   }
 
   def fingerprint(text: String): Long = {
+    val fp = fingerprintOrNull(text)
+    if (fp == null) 0L else fp.longValue()
+  }
+
+  /** null when the text has no letter/digit tokens. */
+  def fingerprintOrNull(text: String): java.lang.Long = {
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     val votes = new Array[Int](64)
+    var nTok = 0
     var i = 0
     val len = lower.length
     while (i < len) {
@@ -46,6 +57,7 @@ object SimHash64 {
         h = (h ^ lower.charAt(i).toLong) * FNV_PRIME; i += 1
       }
       if (i > start) {
+        nTok += 1
         val th = mix(h)
         var j = 0
         while (j < 64) {
@@ -54,6 +66,7 @@ object SimHash64 {
         }
       }
     }
+    if (nTok == 0) return null
     var fp = 0L
     var j = 0
     while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }

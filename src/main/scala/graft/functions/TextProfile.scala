@@ -52,20 +52,23 @@ object TextProfile {
       counts: Array[Long], nTokens: Long, lenSum: Long, nPunct: Long, nChars: Int)
 
   def profile(text: String): Profile = {
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
-    val len = lower.length
+    // iterate the ORIGINAL string (nChars/nPunct must match length(text)
+    // and the punct regex over the source text — String.toLowerCase can
+    // change the length); tokens hash through per-char lowering, which
+    // matches string lowering for every 1:1 mapping (all of ASCII)
+    val len = text.length
     val counts = new Array[Long](stopwordHashes.length)
     var nTokens = 0L
     var lenSum = 0L
     var nPunct = 0L
     var i = 0
     while (i < len) {
-      val c = lower.charAt(i)
+      val c = text.charAt(i)
       if (Character.isLetterOrDigit(c)) {
         val start = i
         var h = FNV_OFFSET
-        while (i < len && Character.isLetterOrDigit(lower.charAt(i))) {
-          h = (h ^ lower.charAt(i).toLong) * FNV_PRIME; i += 1
+        while (i < len && Character.isLetterOrDigit(text.charAt(i))) {
+          h = (h ^ Character.toLowerCase(text.charAt(i)).toLong) * FNV_PRIME; i += 1
         }
         val th = mixHash(h)
         nTokens += 1

@@ -118,10 +118,14 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // native fused expression: ~500x the throughput of the HOF formulation
     // (interpreted lambdas), see graft.functions.ShingleMinHash
+    // token-free docs (punctuation-only/empty text) have a NULL signature
+    // and are excluded: a shared degenerate signature would declare them
+    // all near-duplicates of each other
     val sigs = df.select(
       col(idCol).as("doc_id"),
       graft.functions.ShingleMinHash.shingle_minhash(
         col(textCol), shingleK, numHashes).as("_sig"))
+      .filter(col("_sig").isNotNull)
     val buckets = lshBuckets(sigs, "doc_id", "_sig", bands, rowsPerBand)
     val pairs = boundedBucketPairs(buckets, Seq("band_id", "band_hash"), "doc_id", maxBucketSize)
     val a = sigs.select(col("doc_id").as("doc_a"), col("_sig").as("_sig_a"))
@@ -206,8 +210,11 @@ object Dedup {
     *   without the cap the self-join is O(bucket²) at web scale. */
   def simHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    // token-free docs have a NULL fingerprint and are excluded (see the
+    // matching guard in minHashNearDuplicates)
     val fp = df.select(col(idCol).as("doc_id"),
       graft.functions.SimHash64.simhash64(col(textCol)).as("_fp"))
+      .filter(col("_fp").isNotNull)
     val chunks = fp.select(col("doc_id"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("_fp"), i * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -93,6 +93,18 @@ class DedupPropertySpec extends SparkSuite {
       maxHamming = 3, maxBucketSize = 300).count() === 200L * 199 / 2)
   }
 
+  test("token-free documents are never declared near-duplicates of each other") {
+    // distinct punctuation-only texts share zero content — a shared
+    // degenerate hash would pair them all
+    val junk = Seq((1L, "!!!"), (2L, "???"), (3L, "... ---"), (4L, ""),
+      (5L, "real words here appear three times words here appear"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minHashNearDuplicates(junk, "doc_id", "text",
+      shingleK = 2, numHashes = 64, bands = 16, threshold = 0.1).count() === 0)
+    assert(Dedup.simHashNearDuplicates(junk, "doc_id", "text", maxHamming = 10).count() === 0)
+    assert(Dedup.ngramJaccardPairs(junk, "doc_id", "text", n = 2, threshold = 0.1).count() === 0)
+  }
+
   test("embedding near-dup: hot hyperplane bucket above maxBucketSize emits nothing") {
     val vecs = (0L until 100L).map(i => (i, Array(1.0f, 0.5f, 0.25f)))
       .toDF("vec_id", "embedding")
