@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   */
 trait TableSource {
   def snapshotId: String
+  /** Lineage at the PARTITION grain: an append or rewrite must only
+    * invalidate the partitions it touched, not force re-validation of the
+    * whole table (Iceberg tracks data files per partition the same way).
+    * Default = table-level snapshot for sources without partition
+    * metadata. */
+  def partitionSnapshotId(p: Int): String = snapshotId
   def partitionIds(): Seq[Int]
   /** Read one partition. MUST prune at the scan (partition directory /
     * file-level), never filter a full-table scan. */
@@ -33,16 +39,26 @@ class ParquetPartitionedSource(spark: SparkSession, root: String) extends TableS
     * a false "already validated" is strictly worse than the false
     * re-validation an mtime-only touch causes. (A real Iceberg catalog
     * supplies real snapshot ids; this is the stand-in.) */
+  private def fingerprintFiles(files: Seq[java.io.File]): String =
+    graft.io.Digests.sha8(files
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"${f.getParentFile.getName}/${f.getName}:${f.length()}:${f.lastModified()}")
+      .sorted.mkString("\n"))
+
   override def snapshotId: String = {
     val dir = new java.io.File(root)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap { f =>
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq else Seq(f)
       }
-      .filter(_.getName.endsWith(".parquet"))
-      .map(f => s"${f.getParentFile.getName}/${f.getName}:${f.length()}:${f.lastModified()}")
-      .sorted
-    graft.io.Digests.sha8(files.mkString("\n"))
+    fingerprintFiles(files.toSeq)
+  }
+
+  /** Partition-grain lineage: only this partition's files participate, so
+    * appends/rewrites elsewhere don't invalidate it. */
+  override def partitionSnapshotId(p: Int): String = {
+    val dir = new java.io.File(s"$root/partition_id=$p")
+    fingerprintFiles(Option(dir.listFiles()).getOrElse(Array.empty).toSeq)
   }
 
   override def partitionIds(): Seq[Int] = {

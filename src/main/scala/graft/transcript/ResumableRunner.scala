@@ -44,11 +44,13 @@ class ResumableRunner(
       convKeys.map(_ => Constraints.OrphanConv).toSeq)
 
   def run(): RunSummary = {
-    val snap = source.snapshotId
     val cHash = constraintHash
     val done = manifest.load()
+    // lineage is checked at the PARTITION grain: an append or rewrite of
+    // one partition must not force re-validation of every other
     val (skip, todo) = source.partitionIds().partition { p =>
-      done.get(p).exists(e => e.snapshotId == snap && e.constraintHash == cHash)
+      done.get(p).exists(e =>
+        e.snapshotId == source.partitionSnapshotId(p) && e.constraintHash == cHash)
     }
     val validated = todo.map { p =>
       val t0 = System.nanoTime()
@@ -58,7 +60,7 @@ class ResumableRunner(
         .agg(sum(col("rows_scanned")), sum(col("violations"))).collect()(0)
       sink.foreach(_(p, report))
       val entry = PartitionEntry(
-        partitionId = p, snapshotId = snap, constraintHash = cHash,
+        partitionId = p, snapshotId = source.partitionSnapshotId(p), constraintHash = cHash,
         rowsScanned = if (verdict.isNullAt(0)) 0L else verdict.getLong(0),
         violations = if (verdict.isNullAt(1)) 0L else verdict.getLong(1),
         wallMs = (System.nanoTime() - t0) / 1000000L)

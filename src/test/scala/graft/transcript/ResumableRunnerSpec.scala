@@ -43,15 +43,20 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(run3.validated.map(_.partitionId).sorted ==
       (Seq(0, 1, 2, 3) diff run1.validated.take(2).map(_.partitionId)).sorted)
 
-    // data change in one partition → snapshot id changes → all re-validate
-    val snapBefore = source.snapshotId
+    // data change in ONE partition → only that partition's lineage breaks;
+    // the untouched three keep their manifest entries (partition-grain
+    // snapshot ids — an append must not force whole-table re-validation)
+    val snapBefore = source.partitionSnapshotId(1)
+    val othersBefore = Seq(0, 2, 3).map(source.partitionSnapshotId)
     val extra = TranscriptGen.transcripts(spark,
       TranscriptGen.GenConfig(numConvs = 10, seed = 99, numPartitions = 4))
     extra.filter(org.apache.spark.sql.functions.col("partition_id") === 1)
       .write.mode("append").partitionBy("partition_id").parquet(root)
-    assert(source.snapshotId != snapBefore)
+    assert(source.partitionSnapshotId(1) != snapBefore)
+    assert(Seq(0, 2, 3).map(source.partitionSnapshotId) == othersBefore)
     val run4 = new ResumableRunner(source, manifest, validator, Some(keys)).run()
-    assert(run4.validated.map(_.partitionId).sorted == Seq(0, 1, 2, 3))
+    assert(run4.validated.map(_.partitionId) == Seq(1))
+    assert(run4.skipped.sorted == Seq(0, 2, 3))
   }
 
   test("constraint-set hash invalidates completions") {
