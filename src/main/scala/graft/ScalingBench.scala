@@ -51,7 +51,10 @@ object ScalingBench {
     // would count as an orphan violation and skew the timed legs)
     val convKeysPath = s"${dataDir}-convkeys"
     val cfgMarker = Paths.get(s"${dataDir}-cfg")
-    val cfgTag = s"numConvs=$numConvs seed=${cfg.seed}"
+    // full config digest: any change to rates/partitions/generator inputs
+    // must regenerate, not silently reuse a dataset with a different
+    // violation mix
+    val cfgTag = s"numConvs=$numConvs cfg=${graft.io.Digests.sha8(cfg.toString)}"
     val cached = Files.exists(Paths.get(dataDir)) && Files.exists(Paths.get(convKeysPath)) &&
       Files.exists(cfgMarker) && Files.readString(cfgMarker).trim == cfgTag
     if (!cached) {

@@ -30,6 +30,10 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // token-free text yields NULL even for a non-null child — without this
+  // override Catalyst's NullPropagation would fold the callers' isNotNull
+  // guards away over non-nullable text columns
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString

@@ -14,6 +14,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // token-free text yields NULL even for a non-null child (see
+  // ShingleMinHash.nullable)
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     // NULL for token-free text: every such doc would otherwise share

@@ -90,7 +90,12 @@ object TranscriptGen {
       lit("t:"), col("conv_id"), lit(":"), col("turn0").cast("string"), lit(" "),
       repeat(lit("lorem "), rep.cast("int")))
 
-    val baseTs = (lit(EPOCH0) + col("turn0").cast("long") * 60L +
+    // gap-shifted rows take their ts from the SHIFTED index, else the
+    // conversation-max turn would carry an early ts and leak a TsMonotone
+    // violation under tsRegressRate=0
+    val effTurn = when(gate(cfg.gapRate, "gap"), col("turn0") + col("conv_len"))
+      .otherwise(col("turn0"))
+    val baseTs = (lit(EPOCH0) + effTurn.cast("long") * 60L +
       pmod(xxhash64(col("conv_id"), col("turn0"), lit("jit")), lit(30L))).cast("timestamp")
 
     val withErrors = exploded.select(

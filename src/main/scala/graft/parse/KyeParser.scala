@@ -564,10 +564,15 @@ object KyeParser {
     private def toPostfix(e: Expr): List[Cmd] = {
       def litVal(x: Expr): Option[Any] = x match {
         case ELit(v) => Some(v)
-        // a regex literal in argument position lowers to its pattern
-        // string (the reference grammar accepts `matches(col, /re/)`)
-        case ERegex(p) => Some(p)
         case _ => None
+      }
+      // a regex literal lowers to its pattern string ONLY as a matches()
+      // argument (the reference grammar accepts `matches(col, /re/)`);
+      // inlining it for arbitrary operators would silently turn
+      // `name != /re/` into a plain string comparison
+      def patVal(x: Expr): Option[Any] = x match {
+        case ERegex(p) => Some(p)
+        case other => litVal(other)
       }
       e match {
         case ELit(v) => List(Cmd(Op.VAL, List(v)))
@@ -577,7 +582,7 @@ object KyeParser {
         case EUnary("!", r) => toPostfix(r) :+ Cmd(Op.NOT)
         case EUnary(op, _) => throw new IllegalArgumentException(s"unary $op unsupported")
         case ECall("matches", List(obj, pat)) =>
-          (litVal(pat) match {
+          (patVal(pat) match {
             case Some(p) => toPostfix(obj) :+ Cmd(Op.MATCHES, List(p))
             case None => toPostfix(obj) ++ toPostfix(pat) :+ Cmd(Op.MATCHES)
           }) match { case l => l }

@@ -54,13 +54,16 @@ class ResumableRunner(
     }
     val validated = todo.map { p =>
       val t0 = System.nanoTime()
+      // capture lineage BEFORE scanning: data landing mid-validation must
+      // invalidate this entry on the next run, not be marked validated
+      val snap = source.partitionSnapshotId(p)
       val report = validator.validate(source.readPartition(p), convKeys)
       // one action materializes the partition verdict (rows + violations)
       val verdict = report.partitionVerdicts
         .agg(sum(col("rows_scanned")), sum(col("violations"))).collect()(0)
       sink.foreach(_(p, report))
       val entry = PartitionEntry(
-        partitionId = p, snapshotId = source.partitionSnapshotId(p), constraintHash = cHash,
+        partitionId = p, snapshotId = snap, constraintHash = cHash,
         rowsScanned = if (verdict.isNullAt(0)) 0L else verdict.getLong(0),
         violations = if (verdict.isNullAt(1)) 0L else verdict.getLong(1),
         wallMs = (System.nanoTime() - t0) / 1000000L)

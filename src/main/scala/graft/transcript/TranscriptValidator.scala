@@ -268,15 +268,23 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
     * under stable (conv_id, turn_idx) ordering is the pipeline's content
     * invariant — validation must never rewrite surviving rows).
     * "Every check" means BOTH the conversation verdicts (dup/gap/ts) AND
-    * the row-level predicates — a passing conversation can still carry a
-    * null-text/bad-role row, which must not survive. Row filter is a
-    * codegen'd map-side pass; the semi-join runs at the conversation
-    * grain (broadcast when the passing-conv dim is small, shuffle
-    * otherwise — Spark/AQE decides). */
-  def cleanRows(df: DataFrame, convVerdicts: DataFrame): DataFrame =
-    df.filter(rowPass)
-      .join(convVerdicts.filter(col("pass")).select(col("conv_id")),
+    * the row-level predicates, and the exclusion is CONVERSATION-grain: a
+    * conversation containing any row-level violator is dropped whole —
+    * removing just the bad row would leave a turn_idx hole, so the
+    * "clean" output would violate the suite's own gap-free constraint.
+    * The row predicate runs as a codegen'd map-side pass feeding a
+    * distinct at the conversation grain; both joins are conversation-grain
+    * (broadcast when the dims are small, shuffle otherwise — Spark/AQE
+    * decides). Invariant: re-validating cleanRows' output yields ZERO
+    * violations (tested). */
+  def cleanRows(df: DataFrame, convVerdicts: DataFrame): DataFrame = {
+    val badConvs = df.filter(!rowPass).select(col("conv_id")).distinct()
+    // null-conv rows fail rowPass and never match the semi join, so they
+    // are excluded without a separate filter
+    df.join(convVerdicts.filter(col("pass")).select(col("conv_id")),
         Seq("conv_id"), "left_semi")
+      .join(badConvs, Seq("conv_id"), "left_anti")
+  }
 
   /** Full suite. */
   def validate(df0: DataFrame, convKeys: Option[DataFrame] = None): TranscriptReport = {

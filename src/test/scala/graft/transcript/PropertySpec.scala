@@ -88,6 +88,8 @@ class PropertySpec extends SparkSuite {
       report.cleanup()
       assert(byKind.getOrElse(Constraints.DupKey, 0L) == 0L,
         s"seed=$seed: gap injection leaked duplicate keys: $byKind")
+      assert(byKind.getOrElse(Constraints.TsMonotone, 0L) == 0L,
+        s"seed=$seed: gap injection leaked ts regressions: $byKind")
       assert(byKind.getOrElse(Constraints.SeqGap, 0L) > 0L,
         s"seed=$seed: expected gaps, got $byKind")
     }

@@ -199,9 +199,25 @@ class TranscriptValidatorSpec extends SparkSuite {
     val v = new TranscriptValidator(TranscriptSuiteConfig(persistSeq = false))
     val verdicts = v.convVerdicts(v.seqTable(data))
     assert(verdicts.filter(col("pass")).count() == 1, "c1 is sequence-clean")
-    val survivors = v.cleanRows(data, verdicts).select("turn_idx")
-      .collect().map(_.getInt(0)).toSet
-    assert(survivors === Set(0), s"row violators must not survive: $survivors")
+    // conversation-grain exclusion: dropping only the bad rows would leave
+    // a turn_idx hole, so the whole conversation goes
+    val survivors = v.cleanRows(data, verdicts).count()
+    assert(survivors === 0L, s"conv with row violators must be dropped whole")
+  }
+
+  test("re-validating cleanRows output yields zero violations (idempotence)") {
+    import graft.gen.TranscriptGen
+    val cfg = TranscriptGen.GenConfig(numConvs = 300, seed = 23,
+      dupRate = 0.01, gapRate = 0.01, nullTextRate = 0.01, badRoleRate = 0.01)
+    val data = TranscriptGen.transcripts(spark, cfg).cache()
+    val v = new TranscriptValidator(TranscriptSuiteConfig(persistSeq = false))
+    val verdicts = v.convVerdicts(v.seqTable(data))
+    val clean = v.cleanRows(data, verdicts).cache()
+    assert(clean.count() > 0, "some conversations must survive")
+    val report2 = v.validate(clean)
+    assert(report2.violations.count() === 0L,
+      "the cleaned table must pass its own suite")
+    data.unpersist(); clean.unpersist()
   }
 
   test("ToolRole fires when role is NULL and tool is set (null-free verdict)") {
