@@ -267,14 +267,32 @@ object SparkEntry {
         n = 1, threshold = 0.8, maxDocFreq = 500)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
 
-    // == dedup: MinHash + LSH (hash-based; rows-only check) ==
+    // == dedup: MinHash + LSH. Full oracle via the injected-duplicate
+    // slice (same technique as q_dedup_embedding): a doc and its injected
+    // copy have identical text, hence identical shingle sets, hence
+    // identical signatures under ANY hash family — the pair always shares
+    // every band bucket and its est_jaccard is exactly 64/64 = 1.0. The
+    // id relation doc_b = doc_a + 10^7 holds only for injected pairs
+    // (original ids are far below 10^7), so the slice is fully
+    // deterministic. General near-dup behavior (recall + estimate-vs-exact
+    // bounds) stays pinned by DedupPropertySpec. ==
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashNearDuplicates(docsWithDups(s, dir), "doc_id", "text",
-        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)),
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7,
+        // oracle guard: above any band-bucket size this corpus can produce
+        // at any test SF, so the hot-bucket cap can't drop an injected pair
+        maxBucketSize = 1000000)
+        .filter(col("doc_b") === col("doc_a") + 10000000L)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))),
 
-    // == dedup: SimHash near-dup (hash-based; rows-only check) ==
+    // == dedup: SimHash near-dup. Same injected-duplicate oracle slice:
+    // identical text -> identical 64-bit fingerprint -> hamming exactly 0
+    // and all four 16-bit pigeonhole chunks collide, for ANY hash family. ==
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashNearDuplicates(docsWithDups(s, dir), "doc_id", "text", maxHamming = 3)),
+      Dedup.simHashNearDuplicates(docsWithDups(s, dir), "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 1000000)
+        .filter(col("doc_b") === col("doc_a") + 10000000L)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))),
 
     // == dedup: embedding-cosine near-dup. Full oracle: at threshold 0.999
     // the only true near-dup pairs are the injected exact copies (top-1
@@ -314,8 +332,13 @@ object SparkEntry {
       val e = embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      // maxBucketSize raised above any bucket this corpus can produce at
+      // any test SF (mirrors q_dedup_embedding): the hot-bucket hash-sample
+      // may otherwise evict an item from every one of its buckets —
+      // including a query's own item — silently breaking the self-recall
+      // invariant once a bucket exceeds the production default
       Similarity.lshTopK(e, "vec_id", "embedding", queries, "query_id", "qvec",
-        k = 5, planes = 16, tables = 8)
+        k = 5, planes = 16, tables = 8, maxBucketSize = 1000000)
         .filter(col("rank") === 1)
         .select(col("query_id"), col("item_id"), col("rank"))
     }),
@@ -347,7 +370,8 @@ object SparkEntry {
         .select(col("doc_id"),
           col("_ts.ws_tokens").as("ws_tokens"),
           col("_ts.n_chars").as("n_chars"),
-          col("_ts.n_punct").as("n_punct"))),
+          col("_ts.n_punct").as("n_punct"),
+          col("_ts.bpe_tokens").as("bpe_tokens"))),
 
     // == text analysis: language id distribution (deterministic stopword
     // argmax, integer-exact threshold — full DuckDB oracle) ==
@@ -517,7 +541,11 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens,
         | CAST(length(text) AS INTEGER) AS n_chars,
-        | CAST(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS INTEGER) AS n_punct
+        | CAST(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS INTEGER) AS n_punct,
+        | CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\s\p{L}\p{N}]'))
+        |   + coalesce(list_sum(list_transform(
+        |       list_filter(string_split_regex(text, '[^A-Za-z]+'), x -> len(x) > 6),
+        |       x -> (len(x) - 1) // 6)), 0) AS INTEGER) AS bpe_tokens
         |FROM documents""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -591,11 +619,19 @@ object SparkEntry {
         |           SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 17 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS n
         |FROM d GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
-        |HAVING count(*) > 1""".stripMargin
-    // q_dedup_minhash / q_dedup_simhash remain rows-only: their outputs
-    // include hash-family-dependent members (natural near-dup pairs whose
-    // est_jaccard / hamming depend on the engine's hash). Both are
-    // property-tested instead (injected-duplicate recall + estimate-vs-
-    // exact bounds) in DedupSpec.
+        |HAVING count(*) > 1""".stripMargin,
+    // injected-duplicate slices (see the query comments): the pair
+    // (doc_id, doc_id + 10^7) exists for every doc_id % 17 = 0 with
+    // est_jaccard exactly 1.0 / hamming exactly 0 under ANY hash family;
+    // the corpus has zero token-free docs (verified against all SFs), so
+    // the NULL-signature exclusion never removes an injected doc
+    "q_dedup_minhash" ->
+      """SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+        |       CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
+    "q_dedup_simhash" ->
+      """SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+        |       CAST(0 AS INTEGER) AS hamming
+        |FROM documents WHERE doc_id % 17 = 0""".stripMargin
   )
 }

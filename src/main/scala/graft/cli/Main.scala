@@ -89,10 +89,12 @@ object Main {
       return false
     }
     val model = opts("model")
-    val data = readAny(spark, opts("data"))
+    val dataPath = opts("data")
+    val data = readAny(spark, dataPath)
     // --row-key <col>: anchor violations on a natural key column (stays
-    // columnar/codegen, no RDD round-trip). zipWithIndex is the explicit
-    // fallback for keyless fixtures only.
+    // columnar/codegen, no RDD round-trip). Without it, parquet ingress
+    // derives columnar positional ids from _metadata.row_index;
+    // zipWithIndex remains only for CSV/JSON fixtures.
     val withIds = opts.get("row-key") match {
       case Some(k) =>
         // fail fast on keys whose long-cast could NULL or truncate row
@@ -106,7 +108,22 @@ object Main {
           s"--row-key column '$k' must be an integral type (found $dt): " +
             "floats truncate and wide decimals overflow to NULL, which would " +
             "corrupt the report's row anchors; omit --row-key for positional ids")
+        // duplicate or NULL key values would conflate violations from
+        // different rows and corrupt the highlighted-slice isin lookup —
+        // one cheap aggregate decides (count, distinct, nulls in one job)
+        val kc = data.agg(
+          count(lit(1)).as("n"),
+          count_distinct(col(k)).as("d"),
+          count(when(col(k).isNull, 1)).as("nulls")).collect()(0)
+        require(kc.getLong(2) == 0,
+          s"--row-key column '$k' contains ${kc.getLong(2)} NULLs — row " +
+            "anchors must be non-null; omit --row-key for positional ids")
+        require(kc.getLong(0) == kc.getLong(1),
+          s"--row-key column '$k' is not unique (${kc.getLong(0)} rows, " +
+            s"${kc.getLong(1)} distinct values) — duplicate anchors would " +
+            "conflate violations from different rows")
         data.withColumn("_row", col(k).cast("long"))
+      case None if isParquet(dataPath) => Validator.withParquetRowIds(spark, dataPath)
       case None => Validator.withRowIds(data)
     }
     val result = new Validator(schema,
@@ -201,6 +218,9 @@ object Main {
     }
     totalViolations > 0 || drifted
   }
+
+  private def isParquet(path: String): Boolean =
+    !(path.endsWith(".csv") || path.endsWith(".json") || path.endsWith(".jsonl"))
 
   private def readAny(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".csv"))

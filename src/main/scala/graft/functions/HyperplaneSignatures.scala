@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * sessions, and cluster sizes (required for incremental dedup at scale).
   */
 case class HyperplaneSignatures(child: Expression, planes: Int, tables: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(planes >= 1 && planes <= 48, "planes must be in [1, 48] (table id packs above bit 48)")
   require(tables >= 1 && tables <= 128)
@@ -32,14 +32,18 @@ case class HyperplaneSignatures(child: Expression, planes: Int, tables: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  /** Java fragment converting the input ArrayData to double[] — branch on
+    * the element type at PLAN time, not per row. */
+  private def toDoublesJava(c: String): String = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      s"graft.functions.HyperplaneSignatures$$.MODULE$$.floatsToDoubles($c)"
+    case ArrayType(DoubleType, _) => s"$c.toDoubleArray()"
+    case other =>
+      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+
   private lazy val toDoubles: ArrayData => Array[Double] = child.dataType match {
-    case ArrayType(FloatType, _) => (a: ArrayData) => {
-      val f = a.toFloatArray()
-      val d = new Array[Double](f.length)
-      var i = 0
-      while (i < f.length) { d(i) = f(i); i += 1 }
-      d
-    }
+    case ArrayType(FloatType, _) => HyperplaneSignatures.floatsToDoubles(_)
     case ArrayType(DoubleType, _) => _.toDoubleArray()
     case other =>
       throw new IllegalArgumentException(s"expected array<float|double>, got $other")
@@ -48,6 +52,11 @@ case class HyperplaneSignatures(child: Expression, planes: Int, tables: Int)
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       HyperplaneSignatures.signatures(toDoubles(input.asInstanceOf[ArrayData]), planes, tables))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSignatures$$.MODULE$$.signaturesData(" +
+        s"${toDoublesJava(c)}, $planes, $tables)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
     copy(child = newChild)
@@ -68,6 +77,18 @@ object HyperplaneSignatures {
     * roughly uniform in [-1, 1). */
   @inline def component(plane: Int, dim: Int): Double =
     (mix(plane.toLong * GOLDEN + dim.toLong * PRIME2) >>> 11) * (2.0 / (1L << 53)) - 1.0
+
+  /** Codegen helpers. */
+  def floatsToDoubles(a: ArrayData): Array[Double] = {
+    val f = a.toFloatArray()
+    val d = new Array[Double](f.length)
+    var i = 0
+    while (i < f.length) { d(i) = f(i); i += 1 }
+    d
+  }
+
+  def signaturesData(v: Array[Double], planes: Int, tables: Int): GenericArrayData =
+    new GenericArrayData(signatures(v, planes, tables))
 
   /** `tables` packed sign signatures; table t uses planes
     * [t*planes, (t+1)*planes). */

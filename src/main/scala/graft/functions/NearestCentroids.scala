@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * they ship inside the serialized expression, the executor-side analogue
   * of a broadcast. */
 case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], m: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(centroids.nonEmpty && m >= 1 && m <= centroids.length)
 
@@ -27,14 +27,16 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
     if (n == 0) c else c.map(_ / n)
   }
 
+  private def toDoublesJava(c: String): String = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      s"graft.functions.HyperplaneSignatures$$.MODULE$$.floatsToDoubles($c)"
+    case ArrayType(DoubleType, _) => s"$c.toDoubleArray()"
+    case other =>
+      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+
   private lazy val toDoubles: ArrayData => Array[Double] = child.dataType match {
-    case ArrayType(FloatType, _) => (a: ArrayData) => {
-      val f = a.toFloatArray()
-      val d = new Array[Double](f.length)
-      var i = 0
-      while (i < f.length) { d(i) = f(i); i += 1 }
-      d
-    }
+    case ArrayType(FloatType, _) => HyperplaneSignatures.floatsToDoubles(_)
     case ArrayType(DoubleType, _) => _.toDoubleArray()
     case other =>
       throw new IllegalArgumentException(s"expected array<float|double>, got $other")
@@ -45,11 +47,25 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
     new GenericArrayData(NearestCentroids.nearest(v, unit, m))
   }
 
+  /** The normalized centroid matrix rides the generated class as a
+    * reference object (the codegen analogue of the serialized-expression
+    * "broadcast" the interpreted path used). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("unitCentroids", unit, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroids$$.MODULE$$.nearestData(" +
+        s"${toDoublesJava(c)}, $cents, $m)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
 }
 
 object NearestCentroids {
+  /** Codegen/eval entry point. */
+  def nearestData(v: Array[Double], unitCentroids: Array[Array[Double]], m: Int): GenericArrayData =
+    new GenericArrayData(nearest(v, unitCentroids, m))
+
   /** Indices of the `m` unit-centroids with the largest dot product against
     * `v` (cosine order — `v`'s own norm is rank-invariant). */
   def nearest(v: Array[Double], unitCentroids: Array[Array[Double]], m: Int): Array[Int] = {

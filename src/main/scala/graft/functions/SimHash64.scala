@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -10,7 +10,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * 64-bit hash → per-bit vote → packed fingerprint, in a single JVM loop
   * per row (same rationale as [[ShingleMinHash]]: the pure-Catalyst
   * formulation needs 64 interpreted `aggregate` lambdas per row). */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -21,9 +21,18 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def nullSafeEval(input: Any): Any = {
     // NULL for token-free text: every such doc would otherwise share
     // fingerprint 0 and be declared a near-duplicate of all the others
-    val fp = SimHash64.fingerprintOrNull(input.asInstanceOf[UTF8String].toString)
+    val fp = SimHash64.fingerprintBoxed(input.asInstanceOf[UTF8String])
     if (fp == null) null else fp
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fp = ctx.freshName("fp")
+      s"""
+         |java.lang.Long $fp = graft.functions.SimHash64$$.MODULE$$.fingerprintBoxed($c);
+         |if ($fp == null) { ${ev.isNull} = true; } else { ${ev.value} = $fp.longValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -44,6 +53,9 @@ object SimHash64 {
     val fp = fingerprintOrNull(text)
     if (fp == null) 0L else fp.longValue()
   }
+
+  /** Codegen/eval entry point. */
+  def fingerprintBoxed(text: UTF8String): java.lang.Long = fingerprintOrNull(text.toString)
 
   /** null when the text has no letter/digit tokens. */
   def fingerprintOrNull(text: String): java.lang.Long = {

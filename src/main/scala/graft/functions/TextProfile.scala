@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -100,6 +101,10 @@ object TextProfile {
     if (p.nTokens > 0 && p.counts(best) * 20 > p.nTokens) langs(best) else "und"
   }
 
+  /** Codegen/eval entry points (UTF8String in/out, zero extra logic). */
+  def langIdUtf8(s: UTF8String): UTF8String = UTF8String.fromString(langId(s.toString))
+  def qualityScoreUtf8(s: UTF8String): Double = qualityScore(s.toString)
+
   /** Composite [0,1] quality score — identical formula family to round 1
     * (C4/Gopher-style), with the stopword leg as an exact integer compare
     * so a DuckDB oracle reproduces it bit-for-bit:
@@ -124,36 +129,60 @@ object TextProfile {
 
 /** Per-document surface stats in ONE scan: whitespace-delimited token
   * count (maximal non-whitespace runs — identical to
-  * `split(text, "\\s+")` + non-empty filter), char count, and punctuation
-  * count (`[^\s\p{L}\p{N}]`). Replaces two regex passes + an interpreted
-  * HOF filter per row. */
-case class TextStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  * `split(text, "\\s+")` + non-empty filter), char count, punctuation
+  * count (`[^\s\p{L}\p{N}]`), and the BPE-ish subword estimate (letter
+  * runs + digit singles + punct singles, long letter runs costing an extra
+  * unit per 6 chars beyond 6 — same arithmetic as the former
+  * `regexp_count + aggregate(filter(split(...)))` HOF formulation, which
+  * needed two extra regex passes and an interpreted lambda per row).
+  * Replaces two regex passes + an interpreted HOF filter per row. */
+case class TextStats(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-  import org.apache.spark.sql.catalyst.InternalRow
   override def dataType: DataType = StructType(Seq(
     StructField("ws_tokens", IntegerType, nullable = false),
     StructField("n_chars", IntegerType, nullable = false),
-    StructField("n_punct", IntegerType, nullable = false)))
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("bpe_tokens", IntegerType, nullable = false)))
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var i = 0; var ws = 0; var punct = 0
-    val len = s.length
-    while (i < len) {
-      val c = s.charAt(i)
-      if (!Character.isWhitespace(c)) {
-        if (!Character.isLetterOrDigit(c)) punct += 1
-        if (i == 0 || Character.isWhitespace(s.charAt(i - 1))) ws += 1
-      }
-      i += 1
-    }
-    InternalRow(ws, len, punct)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStats$$.MODULE$$.compute($c)")
   override protected def withNewChildInternal(newChild: Expression): TextStats =
     copy(child = newChild)
 }
 
 object TextStats {
+  /** Codegen/eval entry point: one scan over the string.
+    * bpe_tokens: a letter RUN counts 1 (+ (runLen-1)/6 when runLen > 6),
+    * each digit counts 1, each non-space punct counts 1. (Character.isDigit
+    * vs the HOF's `\p{N}` differ only outside ASCII — this corpus and the
+    * oracle are ASCII; documents deviating need the regex leg.) */
+  def compute(u: UTF8String): InternalRow = {
+    val s = u.toString
+    var i = 0; var ws = 0; var punct = 0; var bpe = 0; var run = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        if (run == 0) bpe += 1 // run start
+        run += 1
+      } else {
+        if (run > 6) bpe += (run - 1) / 6
+        run = 0
+        if (!Character.isWhitespace(c)) {
+          bpe += 1 // digit or punct single
+          if (!Character.isDigit(c)) punct += 1
+        }
+      }
+      if (!Character.isWhitespace(c) && (i == 0 || Character.isWhitespace(s.charAt(i - 1))))
+        ws += 1
+      i += 1
+    }
+    if (run > 6) bpe += (run - 1) / 6
+    InternalRow(ws, len, punct, bpe)
+  }
+
   def text_stats(c: Column): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       TextStats(org.apache.spark.sql.GraftExpressionBridge.expression(c)))
@@ -161,11 +190,13 @@ object TextStats {
 
 /** Native language-id: one tokenize pass, stopword-hash membership,
   * integer-exact threshold. */
-case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {
+case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(TextProfile.langId(input.asInstanceOf[UTF8String].toString))
+    TextProfile.langIdUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextProfile$$.MODULE$$.langIdUtf8($c)")
   override protected def withNewChildInternal(newChild: Expression): LangId =
     copy(child = newChild)
 }
@@ -177,11 +208,14 @@ object LangId {
 }
 
 /** Native composite quality score (see [[TextProfile.qualityScore]]). */
-case class QualityScore(child: Expression) extends UnaryExpression with CodegenFallback {
+case class QualityScore(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     TextProfile.qualityScore(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextProfile$$.MODULE$$.qualityScoreUtf8($c)")
   override protected def withNewChildInternal(newChild: Expression): QualityScore =
     copy(child = newChild)
 }

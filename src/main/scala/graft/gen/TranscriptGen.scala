@@ -92,8 +92,13 @@ object TranscriptGen {
 
     // gap-shifted rows take their ts from the SHIFTED index, else the
     // conversation-max turn would carry an early ts and leak a TsMonotone
-    // violation under tsRegressRate=0
-    val effTurn = when(gate(cfg.gapRate, "gap"), col("turn0") + col("conv_len"))
+    // violation under tsRegressRate=0. The neg gate wins the turn_idx
+    // .when chain below, so a row gated by BOTH keeps the UNSHIFTED ts —
+    // otherwise a turn_idx=-1 row would carry a conversation-max ts at the
+    // front of the sort order and leak the same spurious violation.
+    val effTurn = when(
+        gate(cfg.gapRate, "gap") && !gate(cfg.negTurnRate, "neg"),
+        col("turn0") + col("conv_len"))
       .otherwise(col("turn0"))
     val baseTs = (lit(EPOCH0) + effTurn.cast("long") * 60L +
       pmod(xxhash64(col("conv_id"), col("turn0"), lit("jit")), lit(30L))).cast("timestamp")

@@ -9,4 +9,31 @@ object Digests {
     md.update(s.getBytes("UTF-8"))
     md.digest().take(8).map("%02x".format(_)).mkString
   }
+
+  /** Cheap content fingerprint of a file: length + SHA-256 over the first
+    * and last `blockSize` bytes. O(128 KiB) of IO per file regardless of
+    * file size — parquet rewrites virtually always change the footer
+    * (row-group offsets/stats live there), and compressed identical-length
+    * rewrites that keep BOTH edge blocks identical are adversarial, not
+    * operational. Used by the digest snapshot mode to catch same-mtime
+    * rewrites (coarse filesystems, object-store copies that preserve
+    * timestamps) that an mtime-based snapshot id misses. */
+  def fileContentDigest(f: java.io.File, blockSize: Int = 65536): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val len = f.length()
+    val in = new java.io.RandomAccessFile(f, "r")
+    try {
+      val head = new Array[Byte](math.min(blockSize.toLong, len).toInt)
+      in.readFully(head)
+      md.update(head)
+      if (len > blockSize) {
+        val tail = new Array[Byte](math.min(blockSize.toLong, len - blockSize).toInt)
+        in.seek(len - tail.length)
+        in.readFully(tail)
+        md.update(tail)
+      }
+    } finally in.close()
+    md.update(len.toString.getBytes("UTF-8"))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
 }

@@ -29,20 +29,33 @@ trait TableSource {
 /** Parquet directory partitioned by an explicit `partition_id=N`
   * subdirectory (hive-style), emulating Iceberg identity/bucket
   * partitioning. Partition pruning comes free from the directory layout:
-  * `readPartition` opens only that subdirectory. */
-class ParquetPartitionedSource(spark: SparkSession, root: String) extends TableSource {
+  * `readPartition` opens only that subdirectory.
+  *
+  * @param contentDigest snapshot-id mode. `false` (default): listing +
+  *   size + mtime — zero IO, but a rewrite that preserves length AND mtime
+  *   (coarse-granularity filesystems, object-store copies with preserved
+  *   timestamps) keeps the id, so the resumable runner would falsely skip
+  *   the partition. `true`: additionally digests each file's first/last
+  *   64 KiB (Digests.fileContentDigest) — O(128 KiB) IO per file, catches
+  *   same-mtime rewrites. */
+class ParquetPartitionedSource(spark: SparkSession, root: String,
+                               contentDigest: Boolean = false) extends TableSource {
 
   /** Snapshot id = stable digest of the partition directory listing +
-    * file sizes + modification times. mtime matters: a file rewritten in
-    * place with same-length content would otherwise keep its snapshot id
-    * and the resumable runner would skip re-validating changed data —
-    * a false "already validated" is strictly worse than the false
-    * re-validation an mtime-only touch causes. (A real Iceberg catalog
-    * supplies real snapshot ids; this is the stand-in.) */
+    * file sizes + modification times (+ edge-block content digests in
+    * contentDigest mode). mtime matters: a file rewritten in place with
+    * same-length content would otherwise keep its snapshot id and the
+    * resumable runner would skip re-validating changed data — a false
+    * "already validated" is strictly worse than the false re-validation an
+    * mtime-only touch causes. (A real Iceberg catalog supplies real
+    * snapshot ids; this is the stand-in.) */
   private def fingerprintFiles(files: Seq[java.io.File]): String =
     graft.io.Digests.sha8(files
       .filter(_.getName.endsWith(".parquet"))
-      .map(f => s"${f.getParentFile.getName}/${f.getName}:${f.length()}:${f.lastModified()}")
+      .map { f =>
+        val content = if (contentDigest) ":" + graft.io.Digests.fileContentDigest(f) else ""
+        s"${f.getParentFile.getName}/${f.getName}:${f.length()}:${f.lastModified()}$content"
+      }
       .sorted.mkString("\n"))
 
   override def snapshotId: String = {

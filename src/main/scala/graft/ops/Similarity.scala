@@ -102,16 +102,21 @@ object Similarity {
   // ---- IVF (inverted-file) ANN -------------------------------------------------
 
   /** Spherical k-means coarse quantizer trained on a bounded, deterministic
-    * sample (`orderBy(id).limit(n)` = distributed TakeOrdered — no full
-    * sort, no unbounded collect). Strided init over the ordered sample +
-    * Lloyd iterations with cosine assignment; empty cells keep their old
-    * centroid. Fully deterministic: same data -> same centroids. */
+    * sample (`orderBy(xxhash64(id), id).limit(n)` = distributed
+    * TakeOrdered — no full sort, no unbounded collect). Hash-ordering
+    * instead of id-ordering keeps the sample unbiased when ids correlate
+    * with content (time-ordered ids at 100 TB would otherwise train
+    * centroids on the oldest slice of the corpus only); the id tiebreak
+    * keeps it deterministic under hash collisions. Strided init over the
+    * ordered sample + Lloyd iterations with cosine assignment; empty cells
+    * keep their old centroid. Fully deterministic: same data -> same
+    * centroids. */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
                      nLists: Int, maxSamples: Int = 8192, iters: Int = 8): Array[Array[Double]] = {
     // double-cast in the plan so float AND double vector columns both
     // work; NULL/empty vectors are excluded before sampling
     val rows = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .orderBy(col(idCol)).limit(maxSamples)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSamples)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(rows.length >= nLists, s"need >= $nLists sample vectors, got ${rows.length}")

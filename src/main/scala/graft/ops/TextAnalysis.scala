@@ -16,10 +16,20 @@ object TextAnalysis {
   def whitespaceTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
-  /** BPE-ish subword count: letter runs, digit runs, and single
-    * punctuation marks each count as a token (a cheap proxy for byte-pair
-    * vocab tokenization used for budget estimates). */
+  /** BPE-ish subword count: letter runs, digit singles, and single
+    * punctuation marks each count as a token, long letter runs costing an
+    * extra unit per 6 chars beyond 6 (a cheap proxy for byte-pair vocab
+    * tokenization used for budget estimates). Native single-pass leg of
+    * [[graft.functions.TextStats]] — the regex/HOF reference formulation
+    * lives in [[approxBpeTokenCountReference]] and is pinned equal by
+    * NativeExprSpec. */
   def approxBpeTokenCount(text: Column): Column =
+    graft.functions.TextStats.text_stats(text).getField("bpe_tokens")
+
+  /** Reference (regex + interpreted HOF) formulation of
+    * [[approxBpeTokenCount]] — two extra passes per row; kept as the
+    * executable spec of the arithmetic and for non-ASCII `\p{N}` parity. */
+  def approxBpeTokenCountReference(text: Column): Column =
     coalesce(regexp_count(text, lit("\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]")), lit(0)) +
       // long letter runs cost extra subword units (~1 per 6 chars beyond 6)
       coalesce(aggregate(

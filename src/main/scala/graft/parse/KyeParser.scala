@@ -96,12 +96,16 @@ object KyeParser {
     }
 
   /** Collects errors; adjacent same-message spans merge
-    * (`compilation_errors.py:46-52`). */
+    * (`compilation_errors.py:46-52`). Our Loc ends are EXCLUSIVE while the
+    * reference's are inclusive, so its `last.end >= start - 1` translates
+    * to `last.loc.end >= loc.start` — with `- 1` two same-message errors
+    * separated by one good character would merge here but report as two in
+    * the reference. */
   final class Reporter {
     val errors = scala.collection.mutable.ListBuffer.empty[CompileError]
     def report(msg: String, loc: Loc): Unit =
       errors.lastOption match {
-        case Some(last) if last.msg == msg && last.loc.end >= loc.start - 1 =>
+        case Some(last) if last.msg == msg && last.loc.end >= loc.start =>
           errors(errors.length - 1) = last.copy(loc = last.loc.copy(end = loc.end))
         case _ => errors += CompileError(msg, loc)
       }
@@ -545,13 +549,14 @@ object KyeParser {
           }
           for (ix <- indexes.flatten)
             require(edges.contains(ix), s"Index $ix not defined in model $name")
-          models(name) = Model(name, indexes, edges.toMap, assertions.result(), None)
+          models(name) = Model(name, indexes,
+            scala.collection.immutable.VectorMap.from(edges), assertions.result(), None)
         case SEdge(n, _, _, _, line) =>
           throw ParseError(s"edge '$n' outside a model", line.line)
         case SAssert(_, line) =>
           throw ParseError("assert outside a model", line.line)
       }
-      CompiledSchema(Map.empty, models.toMap)
+      CompiledSchema(Map.empty, scala.collection.immutable.VectorMap.from(models))
     }
 
     /** Expr tree → flat postfix with literal inlining. The reference

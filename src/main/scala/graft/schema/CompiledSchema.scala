@@ -95,6 +95,7 @@ final case class CompiledSchema(types: Map[String, TypeSpec], models: Map[String
 
 object CompiledSchema {
   import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import scala.collection.immutable.VectorMap
   import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   import scala.jdk.CollectionConverters._
 
@@ -135,12 +136,15 @@ object CompiledSchema {
   // ---- tree walking -------------------------------------------------------
 
   private def fromTree(root: JsonNode): CompiledSchema = {
-    val types = objFields(root.get("types")).map { case (name, node) =>
+    // VectorMap: keep DOCUMENT order — the reference serializes declaration
+    // order (json.dumps/yaml.dump with sort_keys=False, kye.py:100-113), so
+    // artifacts must round-trip byte-comparably for multi-edge schemas
+    val types = VectorMap.from(objFields(root.get("types")).map { case (name, node) =>
       name -> parseType(name, node)
-    }.toMap
-    val models = objFields(root.get("models")).map { case (name, node) =>
+    })
+    val models = VectorMap.from(objFields(root.get("models")).map { case (name, node) =>
       name -> parseModel(name, node)
-    }.toMap
+    })
     CompiledSchema(types, models)
   }
 
@@ -179,7 +183,8 @@ object CompiledSchema {
       format = optText(node, "format"),
       conditions =
         if (node.has("conditions")) Some(parseExpr(node.get("conditions"))) else None,
-      edges = objFields(node.get("edges")).map { case (en, e) => en -> parseEdge(name, en, e) }.toMap,
+      edges = VectorMap.from(objFields(node.get("edges"))
+        .map { case (en, e) => en -> parseEdge(name, en, e) }),
       assertions = parseAssertions(name, node),
       loc = optText(node, "loc"))
 
@@ -237,10 +242,10 @@ object CompiledSchema {
   private def write(schema: CompiledSchema, yaml: Boolean): String = {
     val root = jsonMapper.createObjectNode()
     val modelsNode = root.putObject("models")
-    for ((name, m) <- schema.models.toSeq.sortBy(_._1)) modelsNode.set[ObjectNode](name, modelNode(m))
+    for ((name, m) <- schema.models) modelsNode.set[ObjectNode](name, modelNode(m))
     if (schema.types.nonEmpty) {
       val typesNode = root.putObject("types")
-      for ((name, t) <- schema.types.toSeq.sortBy(_._1)) typesNode.set[ObjectNode](name, typeNode(t))
+      for ((name, t) <- schema.types) typesNode.set[ObjectNode](name, typeNode(t))
     }
     if (yaml) yamlMapper.writeValueAsString(root)
     else jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
@@ -317,7 +322,7 @@ object CompiledSchema {
       m.indexes.foreach(idxValue(_, arr))
     }
     val edges = node.putObject("edges")
-    for ((en, e) <- m.edges.toSeq.sortBy(_._1)) edges.set[ObjectNode](en, edgeNode(e))
+    for ((en, e) <- m.edges) edges.set[ObjectNode](en, edgeNode(e))
     if (m.assertions.nonEmpty) {
       val arr = node.putArray("assertions")
       m.assertions.foreach(a => arr.add(assertionNode(a)))
@@ -333,7 +338,7 @@ object CompiledSchema {
     t.conditions.filter(_.nonEmpty).foreach(c => node.set[ObjectNode]("conditions", exprNode(c)))
     if (t.edges.nonEmpty) {
       val edges = node.putObject("edges")
-      for ((en, e) <- t.edges.toSeq.sortBy(_._1)) edges.set[ObjectNode](en, edgeNode(e))
+      for ((en, e) <- t.edges) edges.set[ObjectNode](en, edgeNode(e))
     }
     if (t.assertions.nonEmpty) {
       val arr = node.putArray("assertions")

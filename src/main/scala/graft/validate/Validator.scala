@@ -21,11 +21,23 @@ import scala.collection.mutable.ListBuffer
   * @param rowIdCol name of the stable row-identity column the caller must
   *   provide (the reference relies on the pandas positional index,
   *   `loader.py:36-41`, which has no distributed analogue).
+  * @param maxGroupValues hard cap on the distinct values a `many`-edge
+  *   survivor array materializes per group (S6). The aggregate keeps the
+  *   cap+1 SMALLEST distinct values with a bounded buffer
+  *   ([[graft.functions.BoundedDistinctSet]]) — one hot key with 10^9
+  *   distinct values costs cap+1 buffer slots, not an OOM. Groups that
+  *   overflow keep their (truncated, sorted-ascending) array in the
+  *   survivors and additionally report a `TruncatedValues` violation row
+  *   per member. Cardinality verdicts (missing / multiple) are exact at
+  *   any cap ≥ 1. Matches the reference bit-for-bit whenever every group
+  *   holds ≤ cap distinct values (all fixtures do, by orders of
+  *   magnitude).
   */
 final case class ValidatorConfig(
     strictReferenceParity: Boolean = false,
     abortOnEmpty: Boolean = true,
-    rowIdCol: String = "_row")
+    rowIdCol: String = "_row",
+    maxGroupValues: Int = 10000)
 
 /** @param survivors the cleaned, index-grouped table (None = model aborted,
   *   like the reference returning None from `Loader.load`).
@@ -181,8 +193,10 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     // Scalar single-valued edges avoid any per-group set materialization:
     // "multiple distinct values" ⟺ min != max, "missing" ⟺ count == 0,
     // grouped value = min — bounded memory under hot keys (SURVEY §4
-    // spill note). Only `many` edges and physically-array columns collect
-    // their (semantically required) distinct value sets.
+    // spill note). `many` edges and physically-array columns collect their
+    // (semantically required) distinct value sets through a HARD-bounded
+    // buffer (BoundedDistinctSet, cap+1 smallest values) — never
+    // collect_set/collect_list, whose buffers are O(group).
     sealed trait Mode
     case object Scalar extends Mode
     case object SetOf extends Mode
@@ -196,16 +210,16 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     // set back to this projection — never by collecting row-id lists per
     // group, which would materialize O(rows) list cells in the aggregate
     val keyedRows = df.select(col(rowId), key.as("_key"))
+    val cap = config.maxGroupValues
     val aggExprs = ListBuffer.empty[Column]
     for (c <- dataCols) modes(c) match {
-      case ArrayOf =>
-        // per-value semantics: distinct non-null elements across the group
-        // (reference: explode().dropna().nunique(), loader.py:157-159)
-        val vals = array_distinct(filter(
-          flatten(collect_list(coalesce(col(c), array()))), _.isNotNull))
-        aggExprs += vals.as(s"_vals_$c")
-      case SetOf =>
-        aggExprs += collect_set(col(c)).as(s"_vals_$c") // excludes nulls
+      case ArrayOf | SetOf =>
+        // distinct non-null values across the group — per-ELEMENT for array
+        // columns (reference: explode().dropna().nunique(),
+        // loader.py:157-159) — sorted ascending, bounded at cap+1 buffer
+        // slots per group (the +1 marks truncation)
+        aggExprs += graft.functions.BoundedDistinctSet
+          .bounded_distinct_set(col(c), cap).as(s"_vals_$c")
       case Scalar =>
         aggExprs += min(col(c)).as(s"_min_$c")
         aggExprs += max(col(c)).as(s"_max_$c")
@@ -224,9 +238,11 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
           modes(c) match {
             case Scalar => col(s"_min_$c").as(c)
             case _ =>
+              // already sorted ascending by the aggregate; drop the +1
+              // truncation sentinel from many-edge survivor arrays
               val vals = col(s"_vals_$c")
               // `get` (not getItem) tolerates the empty group under ANSI
-              val out = if (e.many) sort_array(vals) else get(sort_array(vals), lit(0))
+              val out = if (e.many) slice(vals, 1, cap) else get(vals, lit(0))
               out.as(c)
           }
         } ++
@@ -252,8 +268,15 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
           col("_key"), lit(err).as("err"), lit(c).as("col"),
           lit(e.loc.orNull).cast(StringType).as("loc"))
       if (!e.many) {
+        // exact despite the value cap: n is capped at cap+1 >= 2, so the
+        // 0 / 1 / >1 trichotomy is never distorted
         badKeyParts += badKeys(n > 1, "MultipleValues")
         groupOk = groupOk && !(n > 1)
+      } else {
+        // overflow report (not a drop): the survivor keeps its truncated
+        // sorted array; members are flagged so downstream consumers know
+        // the value set is a prefix
+        badKeyParts += badKeys(n > cap, "TruncatedValues")
       }
       if (!e.none) {
         badKeyParts += badKeys(n === 0, "MissingValue")
@@ -445,7 +468,9 @@ object Validator {
   /** Attach a stable 0-based row id reflecting input order (the analogue of
     * the reference's positional RangeIndex). Uses zipWithIndex — stable
     * w.r.t. partition order of the source, intended for test fixtures and
-    * small ingress tables; scale paths anchor on natural keys instead. */
+    * small CSV/JSON ingress tables; parquet ingress should use
+    * [[withParquetRowIds]] (columnar, no RDD round-trip) and scale paths
+    * anchor on natural keys instead. */
   def withRowIds(df: DataFrame, rowIdCol: String = "_row"): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields :+ StructField(rowIdCol, LongType, nullable = false))
@@ -453,5 +478,40 @@ object Validator {
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Stable row identity for parquet ingress WITHOUT the RDD round-trip:
+    * `_row = fileOrdinal << 40 | _metadata.row_index`, where the ordinal is
+    * the file's rank in the lexicographically-sorted file list (driver-side
+    * `inputFiles` — the FileIndex already holds it, no job) and
+    * `row_index` is parquet's per-file positional metadata column. The scan
+    * stays columnar and whole-stage-codegen'd; ids are stable across runs
+    * and unique as long as no file holds ≥ 2^40 rows (a 1-TB row group
+    * ceiling no real file reaches). For a single-file table this equals the
+    * reference's 0-based positional RangeIndex exactly.
+    *
+    * The file→ordinal map rides a broadcast join keyed on the metadata
+    * path; a path that misses the map (would silently lose rows) raises
+    * instead. */
+  def withParquetRowIds(spark: SparkSession, path: String, rowIdCol: String = "_row"): DataFrame = {
+    val base = spark.read.parquet(path)
+    val withMeta = base.select(
+      col("*"),
+      col("_metadata.file_path").as("_g_file"),
+      col("_metadata.row_index").as("_g_idx"))
+    // normalize through hadoop Path so the driver-side listing matches the
+    // executor-side _metadata.file_path rendering (file:///x vs file:/x)
+    val files = base.inputFiles.map(f => new org.apache.hadoop.fs.Path(f).toString).sorted
+    require(files.nonEmpty, s"no parquet files under $path")
+    import spark.implicits._
+    val ordinals = files.zipWithIndex.map { case (f, i) => (f, i.toLong) }
+      .toSeq.toDF("_g_file", "_g_ord")
+    withMeta.join(broadcast(ordinals), Seq("_g_file"), "left")
+      .withColumn(rowIdCol,
+        shiftleft(
+          coalesce(col("_g_ord"),
+            raise_error(concat(lit("parquet row-id: unknown file "), col("_g_file")))),
+          40).bitwiseOR(col("_g_idx")))
+      .drop("_g_file", "_g_idx", "_g_ord")
   }
 }

@@ -98,15 +98,21 @@ class NativeExprSpec extends SparkSuite {
         TextStats.text_stats(col("text")).as("_ts"),
         TextAnalysis.whitespaceTokenCount(col("text")).as("ws"),
         length(col("text")).as("nc"),
-        coalesce(regexp_count(col("text"), lit("[^\\s\\p{L}\\p{N}]")), lit(0)).as("np"))
+        coalesce(regexp_count(col("text"), lit("[^\\s\\p{L}\\p{N}]")), lit(0)).as("np"),
+        TextAnalysis.approxBpeTokenCountReference(col("text")).as("bpe"))
       .filter(col("_ts.ws_tokens") =!= col("ws") || col("_ts.n_chars") =!= col("nc") ||
-        col("_ts.n_punct") =!= col("np"))
+        col("_ts.n_punct") =!= col("np") || col("_ts.bpe_tokens") =!= col("bpe"))
       .count()
     assert(mismatch === 0)
-    val edge = Seq(("  a  b.c! ", 1), ("", 2)).toDF("text", "i")
+    val edge = Seq(("  a  b.c! ", 1), ("", 2), ("extraordinarily big numbers 12345!", 3))
+      .toDF("text", "i")
       .select(TextStats.text_stats(col("text")).as("s")).collect()
-    assert(edge(0).getStruct(0).toSeq == Seq(2, 10, 2)) // runs "a","b.c!"; punct '.','!'
-    assert(edge(1).getStruct(0).toSeq == Seq(0, 0, 0))
+    // runs "a","b.c!"; punct '.','!'; bpe: a,b,c letters + '.' + '!' = 5
+    assert(edge(0).getStruct(0).toSeq == Seq(2, 10, 2, 5))
+    assert(edge(1).getStruct(0).toSeq == Seq(0, 0, 0, 0))
+    // "extraordinarily"(15) -> 1 + (15-1)/6 = 3; big=1; numbers(7) -> 1 +
+    // (7-1)/6 = 2; five digits = 5; '!' = 1 -> bpe 12
+    assert(edge(2).getStruct(0).toSeq == Seq(4, 34, 1, 12))
   }
 
   test("NearestCentroids: NaN vectors assign deterministically, no crash") {

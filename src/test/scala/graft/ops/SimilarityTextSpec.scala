@@ -106,6 +106,31 @@ class SimilarityTextSpec extends SparkSuite {
     emb.unpersist()
   }
 
+  test("IVF recall on clustered data whose cluster structure correlates with id order") {
+    // 10 clusters laid out BY id (cluster = id/300): the round-2 sampler
+    // (lowest-512-ids) would train k-means on clusters 0-1 only and recall
+    // on late-id clusters would collapse; the hash-ordered sample sees all
+    // clusters. Deterministic small noise keeps items distinct.
+    val df = spark.range(0, 3000).select(col("id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        when(d === (col("id") / 300).cast("int"), lit(1.0)).otherwise(lit(0.0)) +
+          (pmod(xxhash64(col("id"), d), lit(1000)).cast("double") / lit(10000.0) - lit(0.05)))
+        .as("v")).cache()
+    val cents = Similarity.trainCentroids(df, "id", "v", nLists = 10, maxSamples = 512)
+    // every cluster must have attracted a centroid: for each cluster c the
+    // max centroid component at dim c should dominate
+    val queries = df.filter(col("id") >= 2700) // the LAST id-cluster
+      .select(col("id").as("query_id"),
+        transform(col("v"), x => x * lit(1.01)).as("qvec"))
+    val top1 = Similarity.ivfTopK(df, "id", "v", queries, "query_id", "qvec",
+        k = 1, cents, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id")))
+    val recalled = top1.count { case (q, i) => q == i }
+    assert(recalled >= 270, s"late-id cluster recall $recalled/300 below 0.9 — " +
+      "the training sample is id-biased")
+    df.unpersist()
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val df = Seq(("Hello, world! This is tokenization."),
       (""), ("supercalifragilisticexpialidocious")).toDF("text")

@@ -59,6 +59,39 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(run4.skipped.sorted == Seq(0, 2, 3))
   }
 
+  test("content-digest mode catches a same-mtime same-length rewrite") {
+    val root = tmpDir("digest")
+    val data = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 50, seed = 7, numPartitions = 2))
+    ParquetPartitionedSource.write(data, root)
+    val mtimeSource = new ParquetPartitionedSource(spark, root)
+    val digestSource = new ParquetPartitionedSource(spark, root, contentDigest = true)
+    val mtimeBefore = mtimeSource.partitionSnapshotId(0)
+    val digestBefore = digestSource.partitionSnapshotId(0)
+
+    // rewrite one data file in place: same length, same mtime (coarse-fs /
+    // object-store copy scenario) — flip one byte mid-file and one in the
+    // tail block
+    val f = new java.io.File(s"$root/partition_id=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val oldMtime = f.lastModified()
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x1).toByte
+    bytes(bytes.length - 5) = (bytes(bytes.length - 5) ^ 0x1).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    assert(f.setLastModified(oldMtime))
+
+    // mtime mode misses the rewrite (the false-skip hazard); digest mode
+    // re-validates
+    assert(mtimeSource.partitionSnapshotId(0) == mtimeBefore,
+      "precondition: the rewrite is invisible to size+mtime")
+    assert(digestSource.partitionSnapshotId(0) != digestBefore,
+      "content digest must change on a same-mtime rewrite")
+    // untouched partition keeps its digest id (no spurious invalidation)
+    assert(digestSource.partitionSnapshotId(1) ==
+      new ParquetPartitionedSource(spark, root, contentDigest = true).partitionSnapshotId(1))
+  }
+
   test("constraint-set hash invalidates completions") {
     assert(CheckpointManifest.constraintHash(Seq("a", "b")) ==
       CheckpointManifest.constraintHash(Seq("b", "a")))

@@ -71,4 +71,59 @@ class ValidatorEdgeCaseSpec extends SparkSuite {
     assert(vios.forall(_.isNullAt(3)), "zero-edge assertion anchors col=null")
     assert(result.survivors.get.count() === 0)
   }
+
+  test("S6: hot-key many-edge value set is bounded at cap (+ truncation report)") {
+    import org.apache.spark.sql.functions._
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"index": "id", "edges": {
+        |  "id": {"type": "Number"}, "v": {"type": "Number", "many": true}}}}}""".stripMargin)
+    // one hot key with 100k distinct many-edge values + one small group:
+    // with collect_set this materializes a 100k-element aggregation buffer
+    // and survivor cell; with the bounded aggregate the buffer never
+    // exceeds cap+1 elements
+    val cap = 100
+    val hot = spark.range(0, 100000)
+      .select(lit(1L).as("id"), col("id").as("v"), col("id").as("_row"))
+    val small = spark.range(0, 3)
+      .select(lit(2L).as("id"), (col("id") + 7).as("v"), (col("id") + 200000).as("_row"))
+    val result = new Validator(schema,
+      ValidatorConfig(abortOnEmpty = false, maxGroupValues = cap))
+      .validate("M", hot.union(small))
+    val survivors = result.survivors.get.orderBy("id").collect()
+    assert(survivors.length === 2)
+    val hotVals = survivors(0).getSeq[Long](1)
+    assert(hotVals === (0L until cap.toLong), "hot group keeps the cap smallest, sorted")
+    assert(survivors(1).getSeq[Long](1) === Seq(7L, 8L, 9L),
+      "non-overflowing group is exact")
+    val truncated = result.violations.filter("err = 'TruncatedValues'")
+      .select("row").collect().map(_.getLong(0)).toSet
+    assert(truncated.size === 100000 && !truncated.contains(200000L),
+      "every hot-group member (and nobody else) is flagged TruncatedValues")
+    result.cleanup()
+  }
+
+  test("S6: array-typed edge keeps exact per-element distinct semantics under the cap") {
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"index": "id", "edges": {
+        |  "id": {"type": "Number"}, "v": {"type": "String", "many": true}}}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("id", LongType), StructField("v", ArrayType(StringType)),
+        StructField("_row", LongType, nullable = false))),
+      Seq(
+        Row(1L, Seq("b", "a", null), 0L),
+        Row(1L, Seq("a", "c"), 1L),
+        Row(2L, null, 2L)))
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val survivors = result.survivors.get.orderBy("id").collect()
+    assert(survivors.length === 1, "the empty-set group is dropped (MissingValue)")
+    assert(survivors(0).getSeq[String](1) === Seq("a", "b", "c"),
+      "distinct non-null elements across the group, sorted")
+    // id=2 group: none=false default ⇒ MissingValue (empty value set)
+    val missing = result.violations.filter("err = 'MissingValue' AND col = 'v'")
+      .collect().map(_.getAs[Long]("row")).toSet
+    assert(missing === Set(2L))
+    result.cleanup()
+  }
 }
