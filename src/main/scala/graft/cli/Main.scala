@@ -127,7 +127,10 @@ object Main {
       case None => Validator.withRowIds(data)
     }
     val result = new Validator(schema,
-      ValidatorConfig(strictReferenceParity = opts.contains("parity")))
+      ValidatorConfig(
+        strictReferenceParity = opts.contains("parity"),
+        maxGroupValues = opts.get("max-group-values").map(_.toInt)
+          .getOrElse(ValidatorConfig().maxGroupValues)))
       .validate(model, withIds)
     val violations = result.violations.cache()
     opts.get("violations").foreach(out =>
@@ -248,6 +251,7 @@ object Main {
     """usage:
       |  graft.cli.Main kye --schema s.kye[.json|.yaml] [--data table.parquet --model M]
       |                 [--violations out] [--parity] [--row-key col] [--compile out.json]
+      |                 [--max-group-values K]
       |  graft.cli.Main transcripts --table dir [--conv-keys path] [--checkpoint m.json]
       |                 [--violations out] [--baseline h.json] [--write-baseline h.json]""".stripMargin)
 }
