@@ -109,19 +109,25 @@ object Main {
             "floats truncate and wide decimals overflow to NULL, which would " +
             "corrupt the report's row anchors; omit --row-key for positional ids")
         // duplicate or NULL key values would conflate violations from
-        // different rows and corrupt the highlighted-slice isin lookup —
-        // one cheap aggregate decides (count, distinct, nulls in one job)
-        val kc = data.agg(
-          count(lit(1)).as("n"),
-          count_distinct(col(k)).as("d"),
-          count(when(col(k).isNull, 1)).as("nulls")).collect()(0)
-        require(kc.getLong(2) == 0,
-          s"--row-key column '$k' contains ${kc.getLong(2)} NULLs — row " +
-            "anchors must be non-null; omit --row-key for positional ids")
-        require(kc.getLong(0) == kc.getLong(1),
-          s"--row-key column '$k' is not unique (${kc.getLong(0)} rows, " +
-            s"${kc.getLong(1)} distinct values) — duplicate anchors would " +
-            "conflate violations from different rows")
+        // different rows and corrupt the highlighted-slice isin lookup.
+        // The guard is one aggregate job but a FULL extra pass over the
+        // input (count + exact count_distinct) — the right default for
+        // correctness; callers who already guarantee a unique non-null key
+        // (e.g. it IS the table's primary key) skip the pass with
+        // --skip-row-key-check at 10^12-row scale.
+        if (!opts.contains("skip-row-key-check")) {
+          val kc = data.agg(
+            count(lit(1)).as("n"),
+            count_distinct(col(k)).as("d"),
+            count(when(col(k).isNull, 1)).as("nulls")).collect()(0)
+          require(kc.getLong(2) == 0,
+            s"--row-key column '$k' contains ${kc.getLong(2)} NULLs — row " +
+              "anchors must be non-null; omit --row-key for positional ids")
+          require(kc.getLong(0) == kc.getLong(1),
+            s"--row-key column '$k' is not unique (${kc.getLong(0)} rows, " +
+              s"${kc.getLong(1)} distinct values) — duplicate anchors would " +
+              "conflate violations from different rows")
+        }
         data.withColumn("_row", col(k).cast("long"))
       case None if isParquet(dataPath) => Validator.withParquetRowIds(spark, dataPath)
       case None => Validator.withRowIds(data)
@@ -174,7 +180,11 @@ object Main {
   }
 
   private def runTranscripts(spark: SparkSession, opts: Map[String, String]): Boolean = {
-    val source = new ParquetPartitionedSource(spark, opts("table"))
+    // --content-digest: snapshot ids additionally hash each file's edge
+    // blocks, so a same-length same-mtime rewrite (object-store copy with
+    // preserved timestamps) still invalidates the partition's checkpoint
+    val source = new ParquetPartitionedSource(spark, opts("table"),
+      contentDigest = opts.contains("content-digest"))
     val convKeys = opts.get("conv-keys").map(p => spark.read.parquet(p))
     val validator = new TranscriptValidator()
 
@@ -251,7 +261,8 @@ object Main {
     """usage:
       |  graft.cli.Main kye --schema s.kye[.json|.yaml] [--data table.parquet --model M]
       |                 [--violations out] [--parity] [--row-key col] [--compile out.json]
-      |                 [--max-group-values K]
+      |                 [--max-group-values K] [--skip-row-key-check]
       |  graft.cli.Main transcripts --table dir [--conv-keys path] [--checkpoint m.json]
-      |                 [--violations out] [--baseline h.json] [--write-baseline h.json]""".stripMargin)
+      |                 [--violations out] [--baseline h.json] [--write-baseline h.json]
+      |                 [--content-digest]""".stripMargin)
 }

@@ -32,31 +32,16 @@ case class HyperplaneSignatures(child: Expression, planes: Int, tables: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  /** Java fragment converting the input ArrayData to double[] — branch on
-    * the element type at PLAN time, not per row. */
-  private def toDoublesJava(c: String): String = child.dataType match {
-    case ArrayType(FloatType, _) =>
-      s"graft.functions.HyperplaneSignatures$$.MODULE$$.floatsToDoubles($c)"
-    case ArrayType(DoubleType, _) => s"$c.toDoubleArray()"
-    case other =>
-      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
-  }
-
-  private lazy val toDoubles: ArrayData => Array[Double] = child.dataType match {
-    case ArrayType(FloatType, _) => HyperplaneSignatures.floatsToDoubles(_)
-    case ArrayType(DoubleType, _) => _.toDoubleArray()
-    case other =>
-      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
-  }
-
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(
-      HyperplaneSignatures.signatures(toDoubles(input.asInstanceOf[ArrayData]), planes, tables))
+      HyperplaneSignatures.signatures(
+        HyperplaneSignatures.toDoubles(child.dataType)(input.asInstanceOf[ArrayData]),
+        planes, tables))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HyperplaneSignatures$$.MODULE$$.signaturesData(" +
-        s"${toDoublesJava(c)}, $planes, $tables)")
+        s"${HyperplaneSignatures.toDoublesJava(child.dataType, c)}, $planes, $tables)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
     copy(child = newChild)
@@ -78,13 +63,32 @@ object HyperplaneSignatures {
   @inline def component(plane: Int, dim: Int): Double =
     (mix(plane.toLong * GOLDEN + dim.toLong * PRIME2) >>> 11) * (2.0 / (1L << 53)) - 1.0
 
-  /** Codegen helpers. */
+  /** Codegen helpers — the float/double vector-conversion dispatch, shared
+    * by every vector-consuming native expression (also [[NearestCentroids]]):
+    * the branch happens at PLAN time, not per row. */
   def floatsToDoubles(a: ArrayData): Array[Double] = {
     val f = a.toFloatArray()
     val d = new Array[Double](f.length)
     var i = 0
     while (i < f.length) { d(i) = f(i); i += 1 }
     d
+  }
+
+  /** Java fragment converting an ArrayData expression to double[]. */
+  def toDoublesJava(dt: DataType, c: String): String = dt match {
+    case ArrayType(FloatType, _) =>
+      s"graft.functions.HyperplaneSignatures$$.MODULE$$.floatsToDoubles($c)"
+    case ArrayType(DoubleType, _) => s"$c.toDoubleArray()"
+    case other =>
+      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+
+  /** Interpreted-eval twin of [[toDoublesJava]]. */
+  def toDoubles(dt: DataType): ArrayData => Array[Double] = dt match {
+    case ArrayType(FloatType, _) => floatsToDoubles(_)
+    case ArrayType(DoubleType, _) => _.toDoubleArray()
+    case other =>
+      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
   }
 
   def signaturesData(v: Array[Double], planes: Int, tables: Int): GenericArrayData =

@@ -27,23 +27,9 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
     if (n == 0) c else c.map(_ / n)
   }
 
-  private def toDoublesJava(c: String): String = child.dataType match {
-    case ArrayType(FloatType, _) =>
-      s"graft.functions.HyperplaneSignatures$$.MODULE$$.floatsToDoubles($c)"
-    case ArrayType(DoubleType, _) => s"$c.toDoubleArray()"
-    case other =>
-      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
-  }
-
-  private lazy val toDoubles: ArrayData => Array[Double] = child.dataType match {
-    case ArrayType(FloatType, _) => HyperplaneSignatures.floatsToDoubles(_)
-    case ArrayType(DoubleType, _) => _.toDoubleArray()
-    case other =>
-      throw new IllegalArgumentException(s"expected array<float|double>, got $other")
-  }
-
   override protected def nullSafeEval(input: Any): Any = {
-    val v = toDoubles(input.asInstanceOf[ArrayData])
+    // shared float/double dispatch (HyperplaneSignatures.toDoubles)
+    val v = HyperplaneSignatures.toDoubles(child.dataType)(input.asInstanceOf[ArrayData])
     new GenericArrayData(NearestCentroids.nearest(v, unit, m))
   }
 
@@ -54,7 +40,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
     val cents = ctx.addReferenceObj("unitCentroids", unit, "double[][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NearestCentroids$$.MODULE$$.nearestData(" +
-        s"${toDoublesJava(c)}, $cents, $m)")
+        s"${HyperplaneSignatures.toDoublesJava(child.dataType, c)}, $cents, $m)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =

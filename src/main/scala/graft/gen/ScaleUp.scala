@@ -42,12 +42,17 @@ object ScaleUp {
 
   def scaleDocuments(df: DataFrame, factor: Int): DataFrame =
     replicate(df, factor) { (d, r) =>
+      val text =
+        if (r == 0) col("text")
+        else concat(col("text"), lit(s" replica$r marker"), col("doc_id").cast("string"))
       d.select(
         (col("doc_id") + lit(r * DOC_STRIDE)).as("doc_id"),
-        (if (r == 0) col("text")
-         else concat(col("text"), lit(s" replica$r marker"), col("doc_id").cast("string")))
-          .as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        text.as("text"),
+        col("lang"), col("source"),
+        // recompute: the replica suffix changed the length, and a stored
+        // n_chars that disagrees with length(text) would silently corrupt
+        // any consumer that trusts the column
+        length(text).cast("long").as("n_chars"))
     }
 
   def scaleEmbeddings(df: DataFrame, factor: Int): DataFrame =

@@ -90,15 +90,16 @@ object TranscriptGen {
       lit("t:"), col("conv_id"), lit(":"), col("turn0").cast("string"), lit(" "),
       repeat(lit("lorem "), rep.cast("int")))
 
-    // gap-shifted rows take their ts from the SHIFTED index, else the
-    // conversation-max turn would carry an early ts and leak a TsMonotone
-    // violation under tsRegressRate=0. The neg gate wins the turn_idx
-    // .when chain below, so a row gated by BOTH keeps the UNSHIFTED ts —
-    // otherwise a turn_idx=-1 row would carry a conversation-max ts at the
-    // front of the sort order and leak the same spurious violation.
-    val effTurn = when(
-        gate(cfg.gapRate, "gap") && !gate(cfg.negTurnRate, "neg"),
-        col("turn0") + col("conv_len"))
+    // ts derives from the FINAL turn index (the same when-chain as
+    // turn_idx below), so a row's ts always matches its position in the
+    // turn_idx sort order: gap-shifted rows carry a beyond-the-end ts, and
+    // neg-gated rows (turn_idx = -1, sorted first) carry
+    // EPOCH0 - 60 + jit(<30) — strictly below every other row's ts. Any
+    // other choice leaks a spurious TsMonotone violation under
+    // tsRegressRate=0 (first via conv-max ts on a -1 row, then — round-3
+    // review — via an unshifted turn0 ts that still exceeds turn 0's).
+    val effTurn = when(gate(cfg.negTurnRate, "neg"), lit(-1))
+      .when(gate(cfg.gapRate, "gap"), col("turn0") + col("conv_len"))
       .otherwise(col("turn0"))
     val baseTs = (lit(EPOCH0) + effTurn.cast("long") * 60L +
       pmod(xxhash64(col("conv_id"), col("turn0"), lit("jit")), lit(30L))).cast("timestamp")
@@ -106,13 +107,12 @@ object TranscriptGen {
     val withErrors = exploded.select(
       when(gate(cfg.orphanConvRate, "orphan-conv"), concat(lit("orphan-"), col("conv_id")))
         .otherwise(col("conv_id")).as("conv_id"),
-      when(gate(cfg.negTurnRate, "neg"), lit(-1))
-        // gap = shift BEYOND the conversation's last turn: shifting to
-        // turn0+1 would collide with the genuine next turn and inject an
-        // unasked-for duplicate key alongside the gap (each rate must gate
-        // exactly its own violation kind)
-        .when(gate(cfg.gapRate, "gap"), col("turn0") + col("conv_len"))
-        .otherwise(col("turn0")).cast("int").as("turn_idx"),
+      // gap = shift BEYOND the conversation's last turn: shifting to
+      // turn0+1 would collide with the genuine next turn and inject an
+      // unasked-for duplicate key alongside the gap (each rate must gate
+      // exactly its own violation kind). Same expression as effTurn above
+      // BY CONSTRUCTION — ts and turn_idx must never disagree.
+      effTurn.cast("int").as("turn_idx"),
       when(gate(cfg.nullRoleRate, "null-role"), lit(null: String))
         .when(gate(cfg.badRoleRate, "bad-role"), lit("robot"))
         .otherwise(baseRole).as("role"),

@@ -150,7 +150,10 @@ object CompiledSchema {
 
   private def objFields(node: JsonNode): List[(String, JsonNode)] =
     if (node == null || node.isNull) Nil
-    else node.properties().asScala.map(e => e.getKey -> e.getValue).toList
+    // fieldNames(), NOT properties(): this Jackson version's properties()
+    // set does not iterate in document order, which would scramble the
+    // declaration order the artifact codec must preserve
+    else node.fieldNames().asScala.toList.map(n => n -> node.get(n))
 
   private def optText(node: JsonNode, field: String): Option[String] = {
     val n = node.get(field)
@@ -171,7 +174,8 @@ object CompiledSchema {
     Model(
       name = name,
       indexes = indexes,
-      edges = objFields(node.get("edges")).map { case (en, e) => en -> parseEdge(name, en, e) }.toMap,
+      edges = VectorMap.from(objFields(node.get("edges"))
+        .map { case (en, e) => en -> parseEdge(name, en, e) }),
       assertions = parseAssertions(name, node),
       loc = optText(node, "loc"))
   }

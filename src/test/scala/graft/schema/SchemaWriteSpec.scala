@@ -69,4 +69,26 @@ class SchemaWriteSpec extends SparkSuite {
     assert(idxs.head.isTextual && idxs.head.asText() == "a")
     assert(idxs(1).isArray && idxs(1).size() == 2)
   }
+
+  test("serialization preserves declaration order above the Map4 threshold") {
+    // >4 entries: scala's Map1-Map4 preserve insertion incidentally, HashMap
+    // does not — the regression the VectorMap change guards (the reference
+    // writes declaration order: json.dumps with sort_keys=False,
+    // kye.py:100-113)
+    val edgeNames = Seq("zeta", "alpha", "mmm", "beta", "q7", "aaa", "omega")
+    val edgesJson = edgeNames.map(n => s""""$n": {"type": "Number"}""").mkString(",\n")
+    val modelNames = Seq("M9", "M1", "M5", "M3", "M7", "M2")
+    val modelsJson = modelNames.map(m =>
+      s""""$m": {"index": "zeta", "edges": {$edgesJson}}""").mkString(",")
+    val schema = CompiledSchema.fromJson(s"""{"models": {$modelsJson}}""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(schema.toJson)
+    assert(node.get("models").fieldNames().asScala.toSeq === modelNames,
+      "model order must be declaration order")
+    for (m <- modelNames)
+      assert(node.get("models").get(m).get("edges").fieldNames().asScala.toSeq
+        === edgeNames, s"edge order in $m must be declaration order")
+    // and byte-stable across a full round-trip
+    assert(CompiledSchema.fromJson(schema.toJson).toJson === schema.toJson)
+  }
 }

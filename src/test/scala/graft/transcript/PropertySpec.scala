@@ -94,4 +94,26 @@ class PropertySpec extends SparkSuite {
         s"seed=$seed: expected gaps, got $byKind")
     }
   }
+
+  test("neg-turn injection is pure: high negTurnRate + gapRate with tsRegressRate = 0 " +
+    "leaks NO ts regressions") {
+    // round-3 review: a turn_idx=-1 row sorts FIRST in the conversation, so
+    // its ts must be below every other row's — deriving ts from the
+    // unshifted turn0 (or, worse, the gap-shifted index) leaks TsMonotone
+    // violations that tsRegressRate never injected. Rates are set high so
+    // neg, gap, and neg∧gap rows all occur.
+    forAll(seeds, n = 3) { (seed: Long) =>
+      val cfg = TranscriptGen.GenConfig(numConvs = 300, seed = seed,
+        negTurnRate = 0.05, gapRate = 0.05, tsRegressRate = 0.0, dupRate = 0.0)
+      val data = TranscriptGen.transcripts(spark, cfg)
+      val report = new TranscriptValidator().validate(data)
+      val byKind = report.violations.groupBy("constraint_id").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      report.cleanup()
+      assert(byKind.getOrElse(Constraints.TsMonotone, 0L) == 0L,
+        s"seed=$seed: neg/gap injection leaked ts regressions: $byKind")
+      assert(byKind.getOrElse(Constraints.SeqGap, 0L) > 0L,
+        s"seed=$seed: expected seq violations, got $byKind")
+    }
+  }
 }
