@@ -54,7 +54,8 @@ object ScalingBench {
     // full config digest: any change to rates/partitions/generator inputs
     // must regenerate, not silently reuse a dataset with a different
     // violation mix
-    val cfgTag = s"numConvs=$numConvs cfg=${graft.io.Digests.sha8(cfg.toString)}"
+    val cfgTag = s"numConvs=$numConvs gen=v${TranscriptGen.GenVersion} " +
+      s"cfg=${graft.io.Digests.sha8(cfg.toString)}"
     val cached = Files.exists(Paths.get(dataDir)) && Files.exists(Paths.get(convKeysPath)) &&
       Files.exists(cfgMarker) && Files.readString(cfgMarker).trim == cfgTag
     if (!cached) {

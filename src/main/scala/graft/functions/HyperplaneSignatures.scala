@@ -32,11 +32,14 @@ case class HyperplaneSignatures(child: Expression, planes: Int, tables: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  // Cached per expression instance: interpreted eval (codegen disabled or
+  // fallen back) must not re-dispatch on the DataType per row.
+  @transient private lazy val convert: ArrayData => Array[Double] =
+    HyperplaneSignatures.toDoubles(child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(
-      HyperplaneSignatures.signatures(
-        HyperplaneSignatures.toDoubles(child.dataType)(input.asInstanceOf[ArrayData]),
-        planes, tables))
+      HyperplaneSignatures.signatures(convert(input.asInstanceOf[ArrayData]), planes, tables))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>

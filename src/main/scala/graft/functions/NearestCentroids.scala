@@ -27,11 +27,14 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
     if (n == 0) c else c.map(_ / n)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    // shared float/double dispatch (HyperplaneSignatures.toDoubles)
-    val v = HyperplaneSignatures.toDoubles(child.dataType)(input.asInstanceOf[ArrayData])
-    new GenericArrayData(NearestCentroids.nearest(v, unit, m))
-  }
+  // shared float/double dispatch (HyperplaneSignatures.toDoubles), cached
+  // so interpreted eval doesn't re-branch on the DataType per row
+  @transient private lazy val convert: ArrayData => Array[Double] =
+    HyperplaneSignatures.toDoubles(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      NearestCentroids.nearest(convert(input.asInstanceOf[ArrayData]), unit, m))
 
   /** The normalized centroid matrix rides the generated class as a
     * reference object (the codegen analogue of the serialized-expression

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object TranscriptGen {
 
+  /** Bump on ANY change to the generated data semantics (not just the
+    * config surface): dataset caches keyed on the config digest alone
+    * (ScalingBench) must regenerate when the generator itself changes.
+    * v3: unique per-row negative turn indices (was a constant -1). */
+  val GenVersion = 3
+
   final case class GenConfig(
       numConvs: Long,
       seed: Long = 42L,
@@ -93,12 +99,16 @@ object TranscriptGen {
     // ts derives from the FINAL turn index (the same when-chain as
     // turn_idx below), so a row's ts always matches its position in the
     // turn_idx sort order: gap-shifted rows carry a beyond-the-end ts, and
-    // neg-gated rows (turn_idx = -1, sorted first) carry
-    // EPOCH0 - 60 + jit(<30) — strictly below every other row's ts. Any
-    // other choice leaks a spurious TsMonotone violation under
-    // tsRegressRate=0 (first via conv-max ts on a -1 row, then — round-3
-    // review — via an unshifted turn0 ts that still exceeds turn 0's).
-    val effTurn = when(gate(cfg.negTurnRate, "neg"), lit(-1))
+    // neg-gated rows (turn_idx = -(turn0+1), sorted first) carry
+    // EPOCH0 - (turn0+1)*60 + jit(<30) — strictly below every
+    // non-negative row's ts and mutually monotone (60 s step > 30 s
+    // jitter). Any other choice leaks a spurious TsMonotone violation
+    // under tsRegressRate=0 (first via conv-max ts on a neg row, then —
+    // round-3 review — via an unshifted turn0 ts that still exceeds turn
+    // 0's). The neg index is UNIQUE per row (not a constant -1): two
+    // neg-gated rows in one conversation must not collide into a
+    // duplicate (conv_id, turn_idx) key that dupRate never injected.
+    val effTurn = when(gate(cfg.negTurnRate, "neg"), -(col("turn0") + 1))
       .when(gate(cfg.gapRate, "gap"), col("turn0") + col("conv_len"))
       .otherwise(col("turn0"))
     val baseTs = (lit(EPOCH0) + effTurn.cast("long") * 60L +

@@ -96,12 +96,15 @@ class PropertySpec extends SparkSuite {
   }
 
   test("neg-turn injection is pure: high negTurnRate + gapRate with tsRegressRate = 0 " +
-    "leaks NO ts regressions") {
-    // round-3 review: a turn_idx=-1 row sorts FIRST in the conversation, so
-    // its ts must be below every other row's — deriving ts from the
-    // unshifted turn0 (or, worse, the gap-shifted index) leaks TsMonotone
-    // violations that tsRegressRate never injected. Rates are set high so
-    // neg, gap, and neg∧gap rows all occur.
+    "leaks NO ts regressions and NO dup keys") {
+    // round-3 review: a negative-turn row sorts FIRST in the conversation,
+    // so its ts must be below every non-negative row's — deriving ts from
+    // the unshifted turn0 (or, worse, the gap-shifted index) leaks
+    // TsMonotone violations that tsRegressRate never injected. And the neg
+    // index must be unique per row: a constant -1 collides two neg-gated
+    // rows of one conversation into a duplicate key that dupRate never
+    // injected. Rates are set high so neg, gap, and neg∧gap rows all
+    // occur, and multi-neg conversations are near-certain.
     forAll(seeds, n = 3) { (seed: Long) =>
       val cfg = TranscriptGen.GenConfig(numConvs = 300, seed = seed,
         negTurnRate = 0.05, gapRate = 0.05, tsRegressRate = 0.0, dupRate = 0.0)
@@ -112,6 +115,10 @@ class PropertySpec extends SparkSuite {
       report.cleanup()
       assert(byKind.getOrElse(Constraints.TsMonotone, 0L) == 0L,
         s"seed=$seed: neg/gap injection leaked ts regressions: $byKind")
+      assert(byKind.getOrElse(Constraints.DupKey, 0L) == 0L,
+        s"seed=$seed: neg injection leaked duplicate keys: $byKind")
+      assert(byKind.getOrElse(Constraints.NegTurnIdx, 0L) > 0L,
+        s"seed=$seed: expected neg-turn violations, got $byKind")
       assert(byKind.getOrElse(Constraints.SeqGap, 0L) > 0L,
         s"seed=$seed: expected seq violations, got $byKind")
     }
