@@ -54,7 +54,13 @@ object ScalingBench {
     // full config digest: any change to rates/partitions/generator inputs
     // must regenerate, not silently reuse a dataset with a different
     // violation mix
-    val cfgTag = s"numConvs=$numConvs gen=v${TranscriptGen.GenVersion} " +
+    // plan digest: the canonicalized logical plan of the generation query
+    // fingerprints the generator's actual expression tree (exprIds
+    // normalized), so a semantics edit that forgets to bump GenVersion
+    // still busts the cache mechanically
+    val planDigest = graft.io.Digests.sha8(
+      TranscriptGen.transcripts(gen, cfg).queryExecution.analyzed.canonicalized.toString)
+    val cfgTag = s"numConvs=$numConvs gen=v${TranscriptGen.GenVersion}-$planDigest " +
       s"cfg=${graft.io.Digests.sha8(cfg.toString)}"
     val cached = Files.exists(Paths.get(dataDir)) && Files.exists(Paths.get(convKeysPath)) &&
       Files.exists(cfgMarker) && Files.readString(cfgMarker).trim == cfgTag
@@ -204,9 +210,21 @@ object ScalingBench {
          |efficiency = **${"%.3f".formatLocal(java.util.Locale.ROOT, effSp)}** (target >= 0.8; hardware
          |ceiling ${"%.3f".formatLocal(java.util.Locale.ROOT, effCal)})
          |""".stripMargin
+    // the run-to-run variance section is maintained BY HAND across rounds
+    // (this bench knows only its own run) — carry it over verbatim instead
+    // of clobbering it with each rewrite
+    val variance = {
+      val p = Paths.get(outMd)
+      if (Files.exists(p)) {
+        val prev = Files.readString(p)
+        val i = prev.indexOf("## Run-to-run variance")
+        if (i >= 0) "\n" + prev.substring(i) else ""
+      } else ""
+    }
     Files.createDirectories(Paths.get(outMd).toAbsolutePath.getParent)
-    Files.writeString(Paths.get(outMd), md)
-    println(s"[bench] wrote $outMd")
+    Files.writeString(Paths.get(outMd), md + variance)
+    println(s"[bench] wrote $outMd (variance section " +
+      (if (variance.nonEmpty) "preserved)" else "absent)"))
   }
 
   private def session(cores: Int): SparkSession = {

@@ -23,19 +23,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * fixed by construction, so signatures are reproducible across runs,
   * sessions, and cluster sizes (required for incremental dedup at scale).
   */
+/** Mixin for vector-consuming unary natives: caches the float/double
+  * `ArrayData => double[]` dispatch once per expression instance, so
+  * interpreted eval (codegen disabled or fallen back) never re-branches
+  * on the DataType — or allocates a closure — per row. New vector
+  * expressions mix this in instead of re-deriving the dispatch. */
+trait VectorArgExpression { self: UnaryExpression =>
+  @transient protected final lazy val convert: ArrayData => Array[Double] =
+    HyperplaneSignatures.toDoubles(child.dataType)
+}
+
 case class HyperplaneSignatures(child: Expression, planes: Int, tables: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with VectorArgExpression {
 
   require(planes >= 1 && planes <= 48, "planes must be in [1, 48] (table id packs above bit 48)")
   require(tables >= 1 && tables <= 128)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
-
-  // Cached per expression instance: interpreted eval (codegen disabled or
-  // fallen back) must not re-dispatch on the DataType per row.
-  @transient private lazy val convert: ArrayData => Array[Double] =
-    HyperplaneSignatures.toDoubles(child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(

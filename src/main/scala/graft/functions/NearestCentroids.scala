@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * they ship inside the serialized expression, the executor-side analogue
   * of a broadcast. */
 case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], m: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with VectorArgExpression {
 
   require(centroids.nonEmpty && m >= 1 && m <= centroids.length)
 
@@ -26,11 +26,6 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
     val n = math.sqrt(c.map(x => x * x).sum)
     if (n == 0) c else c.map(_ / n)
   }
-
-  // shared float/double dispatch (HyperplaneSignatures.toDoubles), cached
-  // so interpreted eval doesn't re-branch on the DataType per row
-  @transient private lazy val convert: ArrayData => Array[Double] =
-    HyperplaneSignatures.toDoubles(child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(

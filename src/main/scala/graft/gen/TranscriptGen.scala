@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
 object TranscriptGen {
 
   /** Bump on ANY change to the generated data semantics (not just the
-    * config surface): dataset caches keyed on the config digest alone
+    * config surface): dataset caches keyed on the config digest
     * (ScalingBench) must regenerate when the generator itself changes.
+    * The cache tag ALSO digests the canonicalized generation plan, so a
+    * forgotten bump is caught mechanically; this constant documents
+    * intent and survives plan-string changes across Spark versions.
     * v3: unique per-row negative turn indices (was a constant -1). */
   val GenVersion = 3
 
