@@ -90,11 +90,13 @@ object Main {
     }
     val model = opts("model")
     val dataPath = opts("data")
-    val data = readAny(spark, dataPath)
     // --row-key <col>: anchor violations on a natural key column (stays
     // columnar/codegen, no RDD round-trip). Without it, parquet ingress
     // derives columnar positional ids from _metadata.row_index;
-    // zipWithIndex remains only for CSV/JSON fixtures.
+    // zipWithIndex remains only for CSV/JSON fixtures. readAny happens
+    // INSIDE each branch: the parquet default path must not list files /
+    // resolve footers twice (withParquetRowIds does its own read)
+    lazy val data = readAny(spark, dataPath)
     val withIds = opts.get("row-key") match {
       case Some(k) =>
         // fail fast on keys whose long-cast could NULL or truncate row

@@ -71,6 +71,12 @@ object ScaleUp {
     require(args.length == 3, "usage: ScaleUp <srcDir> <destDir> <factor>")
     val Array(src, dest, fs) = args
     val factor = fs.toInt
+    // upper bound: replica ids shift by r * 10^5; at factor 101 the shift
+    // reaches the 10^7 dup-injection offset the dedup oracles reserve
+    // (SparkEntry docsWithDups), so scaled ids would collide with injected
+    // duplicates and silently break the oracle slices
+    require(factor >= 1 && factor <= 100,
+      s"factor must be in [1, 100] (got $factor): replica id shifts must stay below the 10^7 dup-injection offset")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -132,7 +132,17 @@ object TranscriptGen {
       when(gate(cfg.nullTextRate, "null-text"), lit(null: String))
         .otherwise(baseText).as("text"),
       when(baseRole === "tool", lit("search")).otherwise(lit(null: String)).as("tool"),
-      when(gate(cfg.tsRegressRate, "ts-reg"), (lit(EPOCH0) - 3600L).cast("timestamp"))
+      // regression sentinel BELOW every legitimate ts this conversation can
+      // produce (neg rows go down to EPOCH0 - conv_len*60): a fixed
+      // EPOCH0 - 3600 would sit ABOVE a deep-negative neg row's ts and the
+      // injected regression would never manifest as a TsMonotone break.
+      // Unique per row (the - turn0 term) so stacked regressions still
+      // regress against each other. A regression on the conversation's
+      // sort-FIRST row has no predecessor and is undetectable by
+      // construction — the per-kind guarantee is "no OTHER kind leaks",
+      // not "every injection on a first row is detectable".
+      when(gate(cfg.tsRegressRate, "ts-reg"),
+        (lit(EPOCH0) - (col("conv_len") + 2 + col("turn0")) * 60L).cast("timestamp"))
         .otherwise(baseTs).as("ts"),
       col("partition_id"),
       col("turn0"))
