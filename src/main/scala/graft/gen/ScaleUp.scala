@@ -70,11 +70,14 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <srcDir> <destDir> <factor>")
     val Array(src, dest, fs) = args
-    val factor = fs.toInt
+    val factor = fs.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"factor must be an integer, got '$fs'"))
     // upper bound: replica ids shift by r * 10^5; at factor 101 the shift
     // reaches the 10^7 dup-injection offset the dedup oracles reserve
     // (SparkEntry docsWithDups), so scaled ids would collide with injected
-    // duplicates and silently break the oracle slices
+    // duplicates and silently break the oracle slices. The per-table
+    // source-range checks in w() below enforce the same invariant against
+    // the ACTUAL ids (e.g. re-scaling an already-scaled directory).
     require(factor >= 1 && factor <= 100,
       s"factor must be in [1, 100] (got $factor): replica id shifts must stay below the 10^7 dup-injection offset")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -84,14 +87,29 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def w(name: String, f: (DataFrame, Int) => DataFrame, parts: Int): Unit = {
-      val out = f(spark.read.parquet(s"$src/$name.parquet"), factor)
+    def w(name: String, f: (DataFrame, Int) => DataFrame, parts: Int,
+          idCol: String, stride: Long, dupOffsetCap: Option[Long]): Unit = {
+      val in = spark.read.parquet(s"$src/$name.parquet")
+      // guard the REAL invariants, not just the factor: replica ranges
+      // [r*stride, r*stride + maxId] must not overlap each other, and for
+      // dup-oracle tables the top scaled id must stay below the injection
+      // offset — a previously-scaled source directory fails both here
+      // instead of silently corrupting the scaled corpus
+      val maxId = in.agg(max(col(idCol)).cast("long")).collect()(0).getLong(0)
+      require(maxId < stride,
+        s"$name: max $idCol = $maxId >= replica stride $stride — replica id ranges would overlap (is '$src' already scaled?)")
+      dupOffsetCap.foreach { cap =>
+        val top = maxId + (factor - 1).toLong * stride
+        require(top < cap,
+          s"$name: top scaled $idCol = $top would reach the $cap dup-injection offset")
+      }
+      val out = f(in, factor)
       out.repartition(parts).write.mode("overwrite").parquet(s"$dest/$name.parquet")
       println(s"$name: ${spark.read.parquet(s"$dest/$name.parquet").count()} rows")
     }
-    w("events", scaleEvents, 32)
-    w("documents", scaleDocuments, 8)
-    w("embeddings", scaleEmbeddings, 4)
+    w("events", scaleEvents, 32, "event_id", EVENT_STRIDE, None)
+    w("documents", scaleDocuments, 8, "doc_id", DOC_STRIDE, Some(10000000L))
+    w("embeddings", scaleEmbeddings, 4, "vec_id", VEC_STRIDE, Some(10000000L))
     spark.stop()
   }
 }

@@ -26,8 +26,10 @@ object TranscriptGen {
     * The cache tag ALSO digests the canonicalized generation plan, so a
     * forgotten bump is caught mechanically; this constant documents
     * intent and survives plan-string changes across Spark versions.
-    * v3: unique per-row negative turn indices (was a constant -1). */
-  val GenVersion = 3
+    * v3: unique per-row negative turn indices (was a constant -1).
+    * v4: conversation-relative ts-regression sentinel (was EPOCH0-3600,
+    * which sat above deep-negative neg-row timestamps). */
+  val GenVersion = 4
 
   final case class GenConfig(
       numConvs: Long,
@@ -132,17 +134,21 @@ object TranscriptGen {
       when(gate(cfg.nullTextRate, "null-text"), lit(null: String))
         .otherwise(baseText).as("text"),
       when(baseRole === "tool", lit("search")).otherwise(lit(null: String)).as("tool"),
-      // regression sentinel BELOW every legitimate ts this conversation can
-      // produce (neg rows go down to EPOCH0 - conv_len*60): a fixed
-      // EPOCH0 - 3600 would sit ABOVE a deep-negative neg row's ts and the
-      // injected regression would never manifest as a TsMonotone break.
-      // Unique per row (the - turn0 term) so stacked regressions still
-      // regress against each other. A regression on the conversation's
-      // sort-FIRST row has no predecessor and is undetectable by
-      // construction — the per-kind guarantee is "no OTHER kind leaks",
-      // not "every injection on a first row is detectable".
+      // regression sentinel BELOW every legitimate ts this conversation
+      // can produce (neg rows go down to EPOCH0 - conv_len*60): a fixed
+      // EPOCH0 - 3600 would sit ABOVE a deep-negative neg row's ts and
+      // the injected regression would never manifest as a TsMonotone
+      // break. Sentinels strictly DECREASE along the turn_idx sort order
+      // (the - effTurn term; effTurn spans [-conv_len, 2*conv_len-1], so
+      // the offset stays in (0, 4*conv_len+1]*60) — a turn0-keyed
+      // sentinel would invert on neg-gated rows and a stacked regression
+      // preceded by a neg-row sentinel would be silent. A regression on
+      // the conversation's sort-FIRST row has no predecessor and is
+      // undetectable by construction — the per-kind guarantee is "no
+      // OTHER kind leaks", not "every first-row injection is detectable".
       when(gate(cfg.tsRegressRate, "ts-reg"),
-        (lit(EPOCH0) - (col("conv_len") + 2 + col("turn0")) * 60L).cast("timestamp"))
+        (lit(EPOCH0) - (col("conv_len") * 2 + 2 + effTurn.cast("long")) * 60L)
+          .cast("timestamp"))
         .otherwise(baseTs).as("ts"),
       col("partition_id"),
       col("turn0"))
