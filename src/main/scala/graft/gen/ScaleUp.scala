@@ -95,7 +95,9 @@ object ScaleUp {
       // dup-oracle tables the top scaled id must stay below the injection
       // offset — a previously-scaled source directory fails both here
       // instead of silently corrupting the scaled corpus
-      val maxId = in.agg(max(col(idCol)).cast("long")).collect()(0).getLong(0)
+      val maxRow = in.agg(max(col(idCol)).cast("long")).collect()(0)
+      require(!maxRow.isNullAt(0), s"$name: source table at '$src' is empty")
+      val maxId = maxRow.getLong(0)
       require(maxId < stride,
         s"$name: max $idCol = $maxId >= replica stride $stride — replica id ranges would overlap (is '$src' already scaled?)")
       dupOffsetCap.foreach { cap =>
