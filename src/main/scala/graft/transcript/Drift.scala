@@ -12,9 +12,15 @@ object Drift {
 
   type Histogram = Map[String, Long]
 
-  /** Collect a (bin, n) DataFrame to a driver-side histogram. */
+  /** Collect a (bin, n) DataFrame to a driver-side histogram. NULL bins
+    * get the reserved "<null>" label; colliding labels (a genuine
+    * "<null>" string bin) MERGE by summing — a plain toMap would keep
+    * only the last entry and silently shrink the distribution, corrupting
+    * PSI/KS against it. */
   def collect(df: DataFrame): Histogram =
-    df.collect().map(r => Option(r.get(0)).map(_.toString).getOrElse("null") -> r.getLong(1)).toMap
+    df.collect().toSeq
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("<null>") -> r.getLong(1))
+      .groupMapReduce(_._1)(_._2)(_ + _)
 
   /** Population Stability Index: sum over bins of (p-q)·ln(p/q), with the
     * standard epsilon floor for empty bins. PSI < 0.1 stable, 0.1-0.25

@@ -45,12 +45,12 @@ class ResumableRunner(
 
   def run(): RunSummary = {
     val cHash = constraintHash
-    val done = manifest.load()
     // lineage is checked at the PARTITION grain: an append or rewrite of
-    // one partition must not force re-validation of every other
+    // one partition must not force re-validation of every other; the skip
+    // predicate lives in the manifest (isComplete) so it can't drift from
+    // what record() wrote
     val (skip, todo) = source.partitionIds().partition { p =>
-      done.get(p).exists(e =>
-        e.snapshotId == source.partitionSnapshotId(p) && e.constraintHash == cHash)
+      manifest.isComplete(p, source.partitionSnapshotId(p), cHash)
     }
     val validated = todo.map { p =>
       val t0 = System.nanoTime()

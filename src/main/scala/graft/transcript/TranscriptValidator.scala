@@ -116,40 +116,40 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
           col("_f.expected").as("expected"), col("partition_id")) ++
           extraCols.map(col)): _*)
 
-  /** (pass predicate, violation struct) per row constraint — the single
-    * source of truth shared by [[rowViolations]] and [[rowPass]]. Pass
+  /** One row-level constraint: id, null-free pass predicate, violation
+    * struct. */
+  private final case class RowCheck(id: String, pass: Column, vio: Column)
+
+  /** The row constraints — the SINGLE source of truth shared by
+    * [[rowViolations]], [[rowPass]] AND [[healthCheck]] (a re-implemented
+    * predicate list drifted once: healthCheck's ToolRole lacked the null
+    * coalesce and undercounted vs rowViolations on null-role rows). Pass
     * predicates must be null-free: a NULL verdict would be silently
     * dropped by explodeFails' filter AND pass a survivors filter. */
-  private def rowChecks: Seq[(Column, Column)] = {
+  private def rowChecks: Seq[RowCheck] = {
     val roles = cfg.roles
+    def chk(id: String, pass: Column, column: String,
+            observed: Column, expected: Column) =
+      RowCheck(id, pass, vioStruct(id, pass, column, observed, expected))
     Seq(
-      col("conv_id").isNotNull ->
-        vioStruct(NullConvId, col("conv_id").isNotNull, "conv_id",
-          lit(null).cast("string"), lit("non-null")),
-      col("turn_idx").isNotNull ->
-        vioStruct(NullTurnIdx, col("turn_idx").isNotNull, "turn_idx",
-          lit(null).cast("string"), lit("non-null")),
-      coalesce(col("turn_idx") >= 0, lit(true)) ->
-        vioStruct(NegTurnIdx, coalesce(col("turn_idx") >= 0, lit(true)), "turn_idx",
-          col("turn_idx"), lit("turn_idx >= 0")),
-      col("role").isNotNull ->
-        vioStruct(NullRole, col("role").isNotNull, "role",
-          lit(null).cast("string"), lit("non-null")),
-      (col("role").isNull || col("role").isin(roles: _*)) ->
-        vioStruct(RoleEnum, col("role").isNull || col("role").isin(roles: _*), "role",
-          col("role"), lit(roles.mkString("|"))),
-      col("text").isNotNull ->
-        vioStruct(NullText, col("text").isNotNull, "text",
-          lit(null).cast("string"), lit("non-null")),
-      col("ts").isNotNull ->
-        vioStruct(NullTs, col("ts").isNotNull, "ts",
-          lit(null).cast("string"), lit("non-null")),
+      chk(NullConvId, col("conv_id").isNotNull, "conv_id",
+        lit(null).cast("string"), lit("non-null")),
+      chk(NullTurnIdx, col("turn_idx").isNotNull, "turn_idx",
+        lit(null).cast("string"), lit("non-null")),
+      chk(NegTurnIdx, coalesce(col("turn_idx") >= 0, lit(true)), "turn_idx",
+        col("turn_idx"), lit("turn_idx >= 0")),
+      chk(NullRole, col("role").isNotNull, "role",
+        lit(null).cast("string"), lit("non-null")),
+      chk(RoleEnum, col("role").isNull || col("role").isin(roles: _*), "role",
+        col("role"), lit(roles.mkString("|"))),
+      chk(NullText, col("text").isNotNull, "text",
+        lit(null).cast("string"), lit("non-null")),
+      chk(NullTs, col("ts").isNotNull, "ts",
+        lit(null).cast("string"), lit("non-null")),
       // coalesce: role=NULL with tool set must FAIL, not evaluate to a
       // NULL verdict that explodeFails would silently drop
-      coalesce(col("tool").isNull || col("role") === "tool", lit(false)) ->
-        vioStruct(ToolRole,
-          coalesce(col("tool").isNull || col("role") === "tool", lit(false)), "tool",
-          col("tool"), lit("tool set only when role = 'tool'")))
+      chk(ToolRole, coalesce(col("tool").isNull || col("role") === "tool", lit(false)),
+        "tool", col("tool"), lit("tool set only when role = 'tool'")))
   }
 
   /** Step 1: all row-level constraints in one codegen'd pass, no shuffle.
@@ -158,11 +158,11 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
   def rowViolations(df0: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
     val df = withPartId(df0)
     val checks = rowChecks
-    explodeFails(df, checks.map(_._2), checks.map(c => !c._1), extraCols)
+    explodeFails(df, checks.map(_.vio), checks.map(c => !c.pass), extraCols)
   }
 
   /** Conjunction of every row-level pass predicate (null-free). */
-  def rowPass: Column = rowChecks.map(_._1).reduce(_ && _)
+  def rowPass: Column = rowChecks.map(_.pass).reduce(_ && _)
 
   /** One-pass health check: per-constraint row-violation counts AND
     * per-column stats (count/nulls/min/max/HLL) in a SINGLE aggregation
@@ -172,16 +172,9 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
     * `<col>_{nonnull,distinct,min,max}` per column. */
   def healthCheck(df0: DataFrame, cols: Seq[String]): DataFrame = {
     val df = withPartId(df0)
-    val roles = cfg.roles
-    val fails: Seq[(String, Column)] = Seq(
-      NullConvId -> col("conv_id").isNull,
-      NullTurnIdx -> col("turn_idx").isNull,
-      NegTurnIdx -> !coalesce(col("turn_idx") >= 0, lit(true)),
-      NullRole -> col("role").isNull,
-      RoleEnum -> !(col("role").isNull || col("role").isin(roles: _*)),
-      NullText -> col("text").isNull,
-      NullTs -> col("ts").isNull,
-      ToolRole -> !(col("tool").isNull || col("role") === "tool"))
+    // fail predicates DERIVED from rowChecks (never re-implemented): the
+    // published counts must agree with rowViolations row-for-row
+    val fails: Seq[(String, Column)] = rowChecks.map(c => c.id -> !c.pass)
     val aggs: Seq[Column] =
       fails.map { case (id, f) => sum(when(f, 1L).otherwise(0L)).as(s"viol_$id") } ++
       cols.flatMap { c => Seq(
@@ -303,6 +296,12 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
       if (cfg.persistSeq) violations0.persist(StorageLevel.MEMORY_AND_DISK)
       else violations0
 
+    // extra pass over the INPUT, but column-pruned to the single
+    // partition-id column (or conv_id when derived) — on columnar sources
+    // this reads one column's pages, not the table; folding it into the
+    // seqTable aggregation instead would under-count rows with null keys
+    // (excluded there) and can't be recovered from violation counts (a
+    // row null in BOTH keys emits two violation rows)
     val rowsPerPartition = df.groupBy(col(cfg.partitionIdCol).as("partition_id"))
       .agg(count(lit(1)).as("rows_scanned"))
     val vioPerPartition = violations.groupBy(col("partition_id"))

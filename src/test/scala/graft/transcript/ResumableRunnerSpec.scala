@@ -92,6 +92,27 @@ class ResumableRunnerSpec extends SparkSuite {
       new ParquetPartitionedSource(spark, root, contentDigest = true).partitionSnapshotId(1))
   }
 
+  test("manifest tolerates legacy/partial entries: missing fields drop to re-validate") {
+    // regression: load() NPE'd on an entry missing a lineage field, so a
+    // pre-lineage manifest crashed the runner instead of re-validating
+    val path = s"${tmpDir("legacy")}/manifest.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"partitions": [
+        |  {"partitionId": 0, "snapshotId": "s0", "constraintHash": "h",
+        |   "rowsScanned": 10, "violations": 1, "wallMs": 5},
+        |  {"partitionId": 1, "rowsScanned": 10, "violations": 0, "wallMs": 5},
+        |  {"partitionId": "bogus"},
+        |  {}
+        |]}""".stripMargin)
+    val m = new CheckpointManifest(path)
+    assert(m.load().keySet == Set(0), "only the fully-formed entry survives")
+    assert(m.isComplete(0, "s0", "h"))
+    assert(!m.isComplete(1, "any", "any"), "partial entry must re-validate")
+    // record still round-trips after dropping the malformed entries
+    m.record(PartitionEntry(1, "s1", "h", 10, 0, 5))
+    assert(new CheckpointManifest(path).load().keySet == Set(0, 1))
+  }
+
   test("constraint-set hash invalidates completions") {
     assert(CheckpointManifest.constraintHash(Seq("a", "b")) ==
       CheckpointManifest.constraintHash(Seq("b", "a")))

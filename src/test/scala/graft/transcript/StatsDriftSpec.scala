@@ -54,6 +54,19 @@ class StatsDriftSpec extends SparkSuite {
     assert(Drift.ks(lenHist(base), lenHist(drift)) > Drift.ks(lenHist(base), lenHist(same)))
   }
 
+  test("histogram collect: NULL bin merges with a colliding literal label by summing") {
+    import spark.implicits._
+    // regression: toMap kept only the last entry on a key collision, so a
+    // genuine "<null>" string bin next to real NULLs silently shrank the
+    // distribution PSI/KS ran against
+    val df = Seq(Option("a"), None, Option("<null>"), Option("a"), None)
+      .toDF("bin").groupBy("bin").count()
+    val h = Drift.collect(df)
+    assert(h("a") == 2L)
+    assert(h("<null>") == 3L, "NULL bins and the literal label must sum, not overwrite")
+    assert(h.values.sum == 5L)
+  }
+
   test("baseline snapshot JSON roundtrip") {
     val snap = Map(
       "role" -> Map("user" -> 10L, "assistant" -> 12L),

@@ -129,6 +129,28 @@ class TranscriptValidatorSpec extends SparkSuite {
     assert(hc.getAs[String]("role_min") == "assistant")
   }
 
+  test("healthCheck agrees with rowViolations on a null-role row with tool set") {
+    // regression: healthCheck once re-implemented the predicate list and
+    // its ToolRole check lacked the null coalesce — !(NULL) aggregated as
+    // no-violation while rowViolations emitted one, so the two published
+    // counts disagreed on real dirty data. Predicates now derive from
+    // rowChecks; this pins the agreement on the exact divergent case.
+    val rows = Seq(
+      Row("d1", 0, null, "x", "search", ts(0)), // null role AND tool set
+      Row("d1", 1, "tool", "y", "search", ts(60)),
+      Row("d1", 2, "user", "z", null, ts(120)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val v = new TranscriptValidator(TranscriptSuiteConfig(persistSeq = false))
+    val hc = v.healthCheck(df, Nil).collect()(0)
+    val rv = v.rowViolations(df).groupBy("constraint_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (id <- Constraints.all if hc.schema.fieldNames.contains(s"viol_$id"))
+      assert(hc.getAs[Long](s"viol_$id") == rv.getOrElse(id, 0L),
+        s"healthCheck and rowViolations disagree on $id")
+    assert(hc.getAs[Long](s"viol_$ToolRole") == 1L)
+    assert(hc.getAs[Long](s"viol_$NullRole") == 1L)
+  }
+
   test("clean rows: per-row text equality under stable (conv_id, turn_idx) order") {
     import graft.gen.TranscriptGen
     import org.apache.spark.sql.functions._
