@@ -18,22 +18,29 @@ object Digests {
     * operational. Used by the digest snapshot mode to catch same-mtime
     * rewrites (coarse filesystems, object-store copies that preserve
     * timestamps) that an mtime-based snapshot id misses. */
-  def fileContentDigest(f: java.io.File, blockSize: Int = 65536): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val len = f.length()
-    val in = new java.io.RandomAccessFile(f, "r")
+  def fileContentDigest(f: java.io.File, blockSize: Int = 65536): String =
     try {
-      val head = new Array[Byte](math.min(blockSize.toLong, len).toInt)
-      in.readFully(head)
-      md.update(head)
-      if (len > blockSize) {
-        val tail = new Array[Byte](math.min(blockSize.toLong, len - blockSize).toInt)
-        in.seek(len - tail.length)
-        in.readFully(tail)
-        md.update(tail)
-      }
-    } finally in.close()
-    md.update(len.toString.getBytes("UTF-8"))
-    md.digest().take(8).map("%02x".format(_)).mkString
-  }
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val len = f.length()
+      val in = new java.io.RandomAccessFile(f, "r")
+      try {
+        val head = new Array[Byte](math.min(blockSize.toLong, len).toInt)
+        in.readFully(head)
+        md.update(head)
+        if (len > blockSize) {
+          val tail = new Array[Byte](math.min(blockSize.toLong, len - blockSize).toInt)
+          in.seek(len - tail.length)
+          in.readFully(tail)
+          md.update(tail)
+        }
+      } finally in.close()
+      md.update(len.toString.getBytes("UTF-8"))
+      md.digest().take(8).map("%02x".format(_)).mkString
+    } catch {
+      // TOCTOU: digest mode exists FOR tables being rewritten underneath
+      // the validator, so a file deleted/truncated between listing and
+      // read must degrade to "changed" (re-validate next run), never
+      // crash the resumable runner mid-flight
+      case e: java.io.IOException => s"unreadable:${e.getClass.getSimpleName}"
+    }
 }

@@ -78,13 +78,31 @@ class ParquetPartitionedSource(spark: SparkSession, root: String,
     val dir = new java.io.File(root)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("partition_id="))
-      .map(_.getName.stripPrefix("partition_id=").toInt)
+      .map { f =>
+        // fail with an ACTIONABLE message, not a NumberFormatException: a
+        // null partition_id write lands in __HIVE_DEFAULT_PARTITION__, and
+        // silently skipping it would leave rows unvalidated
+        f.getName.stripPrefix("partition_id=").toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"non-numeric partition directory '${f.getName}' under $root " +
+              "(null partition_id rows land in __HIVE_DEFAULT_PARTITION__) — " +
+              "clean or re-partition the table before validating"))
+      }
       .sorted.toSeq
   }
 
-  override def readPartition(p: Int): DataFrame =
-    spark.read.parquet(s"$root/partition_id=$p")
-      .withColumn("partition_id", lit(p))
+  override def readPartition(p: Int): DataFrame = {
+    val dir = new java.io.File(s"$root/partition_id=$p")
+    val hasData = Option(dir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".parquet"))
+    if (hasData)
+      spark.read.parquet(dir.toString).withColumn("partition_id", lit(p))
+    else
+      // a partition directory emptied by maintenance still lists as a
+      // partition: borrow the table schema and prune to the (empty) dir
+      // instead of crashing schema inference on zero files
+      read().where(col("partition_id") === p)
+  }
 
   override def read(): DataFrame =
     spark.read.option("basePath", root).parquet(root)

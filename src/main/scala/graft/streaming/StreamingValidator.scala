@@ -10,7 +10,7 @@ import graft.transcript.{TranscriptSuiteConfig, TranscriptValidator}
   * "Streaming: none"); this is the documented extension for pipelines that
   * validate transcripts as they land.
   *
-  * Two layers:
+  * Three layers:
   *  - '''row predicates''' — the same Catalyst predicate columns as the
   *    batch path ([[TranscriptValidator.rowViolations]] is stateless, so
   *    it lifts onto a streaming DataFrame unchanged), emitted in append
@@ -18,10 +18,11 @@ import graft.transcript.{TranscriptSuiteConfig, TranscriptValidator}
   *  - '''windowed violation counts''' — watermarked tumbling-window counts
   *    per constraint for monitoring/alerting;
   *  - '''stateful sequence check''' — per-conversation
-  *    `flatMapGroupsWithState` tracking the max turn_idx seen: emits a
-  *    violation when a turn arrives at or below the watermark-committed
-  *    max (duplicate) — the streaming analogue of the batch dup-key check
-  *    with bounded state (one int per live conversation).
+  *    `flatMapGroupsWithState` tracking the max turn_idx committed by
+  *    EARLIER micro-batches: emits a violation for a turn at or below
+  *    that max (cross-batch replay/regression) or duplicated within its
+  *    own batch — the streaming analogue of the batch dup-key check with
+  *    bounded state (one int per live conversation).
   */
 object StreamingValidator {
 
@@ -32,13 +33,21 @@ object StreamingValidator {
     new TranscriptValidator(cfg).rowViolations(stream)
 
   /** Watermarked tumbling-window violation counts per constraint
-    * (append-mode monitoring stream). */
+    * (append-mode monitoring stream). Rows with a NULL event ts coalesce
+    * into the epoch-0 sentinel window: a null event time would get a null
+    * window the watermark never closes, so in append mode the NullTs
+    * violations — the one thing a ts-quality monitor must surface — would
+    * never be emitted. The sentinel window is always behind the watermark
+    * and flushes as soon as any real data advances it. */
   def windowedViolationCounts(stream: DataFrame, tsCol: String = "ts",
                               watermark: String = "10 minutes",
                               windowLen: String = "5 minutes",
                               cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()): DataFrame =
     new TranscriptValidator(cfg)
-      .rowViolations(stream.withColumn("_event_ts", col(tsCol)), extraCols = Seq("_event_ts"))
+      .rowViolations(
+        stream.withColumn("_event_ts",
+          coalesce(col(tsCol), lit("1970-01-01 00:00:00").cast("timestamp"))),
+        extraCols = Seq("_event_ts"))
       .withWatermark("_event_ts", watermark)
       .groupBy(window(col("_event_ts"), windowLen), col("constraint_id"))
       .agg(count(lit(1)).as("n"))
@@ -47,8 +56,15 @@ object StreamingValidator {
   final case class DupViolation(conv_id: String, turn_idx: Int, kind: String)
 
   /** Stateful duplicate/regression detector: state = max turn_idx per
-    * conversation. Emits `dup_or_regression` when a turn arrives that is
-    * <= the max already seen (exact dups and out-of-order replays).
+    * conversation, carried ACROSS micro-batches. Emits `dup_or_regression`
+    * for a turn at or below the max committed by earlier batches
+    * (cross-batch replays/regressions) and for turns duplicated within
+    * the current batch. Events are sorted per batch first: the group
+    * iterator's order after the shuffle is nondeterministic, so in-batch
+    * arrival order carries no signal — treating it as meaningful flagged
+    * spurious regressions that varied run to run. State starts EMPTY
+    * (Option, no -1 sentinel): a legitimate negative turn_idx must not
+    * collide with an "already seen" marker on first contact.
     * State is one Int per live conversation; `idleTimeoutMs > 0` retires
     * conversations idle longer than that (pass 0 for bounded backfills
     * driven by `Trigger.AvailableNow`). */
@@ -63,13 +79,13 @@ object StreamingValidator {
         (convId: String, events: Iterator[TurnEvent], state: GroupState[Int]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var maxSeen = state.getOption.getOrElse(-1)
-            val out = events.flatMap { e =>
-              if (e.turn_idx <= maxSeen)
+            var maxSeen: Option[Int] = state.getOption
+            val out = events.toList.sortBy(_.turn_idx).flatMap { e =>
+              if (maxSeen.exists(e.turn_idx <= _))
                 Some(DupViolation(convId, e.turn_idx, "dup_or_regression"))
-              else { maxSeen = e.turn_idx; None }
-            }.toList
-            state.update(maxSeen)
+              else { maxSeen = Some(e.turn_idx); None }
+            }
+            maxSeen.foreach(state.update)
             if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
             out.iterator
           }

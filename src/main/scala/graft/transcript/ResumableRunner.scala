@@ -48,15 +48,17 @@ class ResumableRunner(
     // lineage is checked at the PARTITION grain: an append or rewrite of
     // one partition must not force re-validation of every other; the skip
     // predicate lives in the manifest (isComplete) so it can't drift from
-    // what record() wrote
-    val (skip, todo) = source.partitionIds().partition { p =>
-      manifest.isComplete(p, source.partitionSnapshotId(p), cHash)
+    // what record() wrote. Snapshots are computed ONCE here — before any
+    // scan, so data landing mid-validation invalidates the entry on the
+    // next run — and reused for the manifest entry (in contentDigest mode
+    // a second call would repeat the per-file edge-block IO)
+    val snaps = source.partitionIds().map(p => p -> source.partitionSnapshotId(p))
+    val (skipped, todo) = snaps.partition { case (p, snap) =>
+      manifest.isComplete(p, snap, cHash)
     }
-    val validated = todo.map { p =>
+    val skip = skipped.map(_._1)
+    val validated = todo.map { case (p, snap) =>
       val t0 = System.nanoTime()
-      // capture lineage BEFORE scanning: data landing mid-validation must
-      // invalidate this entry on the next run, not be marked validated
-      val snap = source.partitionSnapshotId(p)
       val report = validator.validate(source.readPartition(p), convKeys)
       // one action materializes the partition verdict (rows + violations)
       val verdict = report.partitionVerdicts

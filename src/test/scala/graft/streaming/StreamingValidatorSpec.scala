@@ -46,23 +46,29 @@ class StreamingValidatorSpec extends SparkSuite {
     assert(total == batchTotal && total > 0)
   }
 
-  test("stateful sequence check flags duplicate and regressed turns") {
+  test("stateful sequence check: in-batch dups and cross-batch regressions, order-free") {
     import spark.implicits._
     import StreamingValidator.TurnEvent
-    val dir = Files.createTempDirectory("stream-state").toString
-    Seq(
-      TurnEvent("c1", 0), TurnEvent("c1", 1), TurnEvent("c1", 1), // dup
-      TurnEvent("c1", 2), TurnEvent("c2", 0), TurnEvent("c2", 5),
-      TurnEvent("c2", 3) // regression
-    ).toDF().repartition(1).write.mode("overwrite").parquet(dir)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(dir).schema).parquet(dir)
-      .as[TurnEvent]
-    val q = StreamingValidator.statefulSequenceCheck(stream, idleTimeoutMs = 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TurnEvent]
+    val q = StreamingValidator.statefulSequenceCheck(input.toDS(), idleTimeoutMs = 0)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("stream_state")
-      .trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable(); q.stop()
+      .start()
+    try {
+      // batch 1: c1 duplicates turn 1 in-batch; c2 is clean; c3's FIRST
+      // contact is a negative turn — it must NOT be flagged (regression:
+      // a -1 "already seen" sentinel used to collide with legal negative
+      // indices). In-batch arrival order carries no signal post-shuffle,
+      // so only equality flags within a batch.
+      input.addData(TurnEvent("c1", 0), TurnEvent("c1", 1), TurnEvent("c1", 1),
+        TurnEvent("c1", 2), TurnEvent("c2", 0), TurnEvent("c2", 5), TurnEvent("c3", -2))
+      q.processAllAvailable()
+      // batch 2: c2 turn 3 arrives after turn 5 was committed by batch 1
+      // -> cross-batch regression; c3 continues above its negative start
+      input.addData(TurnEvent("c2", 3), TurnEvent("c3", 0))
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.table("stream_state").collect()
       .map(r => (r.getString(0), r.getInt(1))).toSet
     assert(got == Set(("c1", 1), ("c2", 3)))

@@ -120,6 +120,27 @@ class ResumableRunnerSpec extends SparkSuite {
       CheckpointManifest.constraintHash(Seq("a", "b")))
   }
 
+  test("empty partition dir reads as zero rows; non-numeric partition dir fails actionably") {
+    val root = tmpDir("edge")
+    val data = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 20, seed = 5, numPartitions = 2))
+    ParquetPartitionedSource.write(data, root)
+    // maintenance deleted the data files but left the directory: the run
+    // must validate it as empty, not crash schema inference
+    val d = new java.io.File(s"$root/partition_id=1")
+    d.listFiles().foreach(f => assert(f.delete()))
+    val source = new ParquetPartitionedSource(spark, root)
+    assert(source.partitionIds() == Seq(0, 1))
+    assert(source.readPartition(1).count() == 0)
+    assert(source.readPartition(0).count() > 0)
+    // a null-partition_id write lands in __HIVE_DEFAULT_PARTITION__: the
+    // listing must fail with an actionable message (silently skipping it
+    // would leave rows unvalidated), not a NumberFormatException
+    assert(new java.io.File(s"$root/partition_id=__HIVE_DEFAULT_PARTITION__").mkdir())
+    val e = intercept[IllegalArgumentException](source.partitionIds())
+    assert(e.getMessage.contains("__HIVE_DEFAULT_PARTITION__"))
+  }
+
   test("partition read prunes to one directory") {
     val root = tmpDir("prune")
     val data = TranscriptGen.transcripts(spark,
