@@ -67,14 +67,17 @@ case class BoundedDistinctSet(
     })
 
   /** Insert with the capacity bound: dedup via the tree's comparator, copy
-    * only on actual insert (inputs may be unsafe-row-backed), evict the
-    * current max when full and the newcomer is smaller. */
-  private def add(buf: java.util.TreeSet[Any], v: Any): Unit = {
+    * only on actual insert of a non-owned value (update inputs may be
+    * unsafe-row-backed; merge/deserialize values were already defensively
+    * copied — re-copying them would allocate per merged element on the
+    * hot combine path), evict the current max when full and the newcomer
+    * is smaller. */
+  private def add(buf: java.util.TreeSet[Any], v: Any, owned: Boolean = false): Unit = {
     if (buf.contains(v)) return
     if (buf.size() <= limit) { // capacity limit + 1
-      buf.add(InternalRow.copyValue(v))
+      buf.add(if (owned) v else InternalRow.copyValue(v))
     } else if (ordering.compare(v, buf.last()) < 0) {
-      buf.add(InternalRow.copyValue(v))
+      buf.add(if (owned) v else InternalRow.copyValue(v))
       buf.pollLast()
     }
   }
@@ -97,7 +100,7 @@ case class BoundedDistinctSet(
 
   override def merge(buf: java.util.TreeSet[Any], other: java.util.TreeSet[Any]): java.util.TreeSet[Any] = {
     val it = other.iterator()
-    while (it.hasNext) add(buf, it.next())
+    while (it.hasNext) add(buf, it.next(), owned = true)
     buf
   }
 

@@ -90,6 +90,13 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     def cached(d: DataFrame): DataFrame = { val c = d.cache(); cachedDfs += c; c }
     def abort(): ValidationResult =
       ValidationResult(unionAll(spark, violations.toList), None, droppedCols, cachedDfs.toSeq)
+    // parity: every reference empty-abort sits under a mask/drop guard
+    // (`if not mask.all():` / `if len(drop_columns):`, loader.py:113-200)
+    // — a table that was ALREADY empty flows through to an empty survivors
+    // table; only a stage that actually dropped something aborts on empty
+    def emptyAbort(out: DataFrame, droppedSomething: => Boolean): Boolean =
+      config.abortOnEmpty && out.isEmpty &&
+        (!config.strictReferenceParity || droppedSomething)
 
     // ---- S1: conform columns (rename titles, drop unknown) ----------------
     val colNameMap: Map[String, String] =
@@ -102,6 +109,13 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     if (known.isEmpty) return abort() // all columns dropped ⇒ empty table (loader.py:64-65)
     var df = input.select((col(rowId) +: known.map(c => col(c).as(colNameMap(c)))): _*)
     var dataCols: Seq[String] = known.map(colNameMap)
+    // reference control flow: the empty-table abort after dropping extras
+    // runs BEFORE the missing-index check and only when a drop actually
+    // happened (loader.py:63-65 sits inside `if len(drop_columns)`), so a
+    // zero-row table with extra columns aborts silently — no MissingIndex
+    // rows. A clean zero-row table does NOT abort there.
+    lazy val inputIsEmpty = df.isEmpty // evaluated at most once, parity mode only
+    if (config.strictReferenceParity && dropped.nonEmpty && inputIsEmpty) return abort()
 
     // ---- S2: missing index columns (driver-side, no job) ------------------
     val missingIdx = model.index.filterNot(dataCols.contains)
@@ -114,14 +128,23 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     }
 
     // ---- S3: column type check + implicit cast ----------------------------
-    val s3 = typeCheck(spark, model, df, dataCols, violations)
+    // reference: an empty column is "nothing to check" (get_column_type
+    // returns None, loader.py:88-90) — zero-row tables skip the type stage
+    // entirely, emitting no InvalidType verdicts and keeping every column
+    val s3 =
+      if (config.strictReferenceParity && inputIsEmpty) Some((df, dataCols))
+      else typeCheck(spark, model, df, dataCols, violations)
     s3 match {
       case None => return abort()
       case Some((d, cols)) => df = d; dataCols = cols
     }
     if (dataCols.isEmpty) return abort()
     df = cached(df)
-    if (config.abortOnEmpty && df.isEmpty) return abort()
+    // scale path: abortOnEmpty gives up on an empty stage output. Parity
+    // path: the reference aborts on emptiness only AFTER an actual drop
+    // (column drop above, row-mask drop in S4) — a clean zero-row table
+    // flows through to an EMPTY survivors table, not a None abort.
+    if (config.abortOnEmpty && !config.strictReferenceParity && df.isEmpty) return abort()
 
     // ---- S4: assertions as predicate columns ------------------------------
     val applicable = model.assertions.filter { a =>
@@ -146,6 +169,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
           lit(a.loc.orNull).cast(StringType).as("loc"),
           lit(a.msg).as("expected"))
       }
+      var parityAssertionFired = false
       val survivorPreds: Seq[Column] =
         if (config.strictReferenceParity) {
           // Reference wart W2 (loader.py:123-126): when an assertion has at
@@ -159,11 +183,16 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
           val fired = df.agg(flags.head, flags.tail: _*).collect()(0)
           rawPreds.zipWithIndex.map { case ((_, p), i) =>
             val anyFailed = !fired.isNullAt(i) && fired.getLong(i) > 0
+            parityAssertionFired ||= anyFailed
             if (anyFailed) p else lit(true) // strict: null drops too
           }
         } else rawPreds.map { case (_, p) => coalesce(p, lit(true)) }
       df = cached(df.filter(survivorPreds.reduce(_ && _)))
-      if (config.abortOnEmpty && df.isEmpty) return abort()
+      // parity: the reference's post-mask empty abort (loader.py:128-129)
+      // runs only when a mask actually dropped rows — an already-empty
+      // table with no firing assertion flows on, it does not abort
+      if (config.abortOnEmpty && (!config.strictReferenceParity || parityAssertionFired)
+          && df.isEmpty) return abort()
     }
 
     // ---- S5: sub-index functional dependency ------------------------------
@@ -185,7 +214,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       }
       val allBad = badRowSets.reduce(_ union _).distinct()
       df = cached(df.join(allBad, Seq(rowId), "left_anti"))
-      if (config.abortOnEmpty && df.isEmpty) return abort()
+      if (emptyAbort(df, !allBad.isEmpty)) return abort()
     }
 
     // ---- S6: cardinality verdicts + group-by-key (one shuffle) ------------
@@ -211,6 +240,17 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     // group, which would materialize O(rows) list cells in the aggregate
     val keyedRows = df.select(col(rowId), key.as("_key"))
     val cap = config.maxGroupValues
+    // reference parity: pandas `dropna()` drops NaN as well as null
+    // (loader.py:155-159), so NaN must not count as a distinct value, win
+    // a min/max, or survive into grouped values — map it to NULL before
+    // aggregating (Spark aggregates then skip it like the reference's drop)
+    def nanSafe(c: String): Column = df.schema(c).dataType match {
+      case DoubleType | FloatType =>
+        when(isnan(col(c)), lit(null)).otherwise(col(c))
+      case ArrayType(DoubleType | FloatType, _) =>
+        filter(col(c), x => !isnan(x))
+      case _ => col(c)
+    }
     val aggExprs = ListBuffer.empty[Column]
     for (c <- dataCols) modes(c) match {
       case ArrayOf | SetOf =>
@@ -219,14 +259,14 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         // loader.py:157-159) — sorted ascending, bounded at cap+1 buffer
         // slots per group (the +1 marks truncation)
         aggExprs += graft.functions.BoundedDistinctSet
-          .bounded_distinct_set(col(c), cap).as(s"_vals_$c")
+          .bounded_distinct_set(nanSafe(c), cap).as(s"_vals_$c")
       case Scalar =>
-        aggExprs += min(col(c)).as(s"_min_$c")
-        aggExprs += max(col(c)).as(s"_max_$c")
-        aggExprs += count(col(c)).as(s"_cnt_$c")
+        aggExprs += min(nanSafe(c)).as(s"_min_$c")
+        aggExprs += max(nanSafe(c)).as(s"_max_$c")
+        aggExprs += count(nanSafe(c)).as(s"_cnt_$c")
     }
     val grouped0 = df.groupBy(key.as("_key"))
-      .agg(count(lit(1)).as("_gn"), aggExprs.toSeq: _*)
+      .agg(aggExprs.head, aggExprs.tail.toSeq: _*)
     // first non-null in row order is not distributed-stable; sorted-distinct
     // (= min for scalars) is. Groups where it matters (>1 distinct on a
     // single-valued edge) are dropped as MultipleValues anyway, so
@@ -297,7 +337,9 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         lit(null).cast(StringType).as("expected"))
     }
     var gdf = cached(grouped.filter(groupOk))
-    if (config.abortOnEmpty && gdf.isEmpty) return abort()
+    // drop source = groups failing a cardinality verdict (grouped is cached,
+    // so the parity-mode guard probe is cheap)
+    if (emptyAbort(gdf, !grouped.isEmpty)) return abort()
 
     // ---- S7: index-conflict across alternate keys --------------------------
     if (model.indexes.size > 1) {
@@ -344,7 +386,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       if (affectedKeySets.nonEmpty) {
         val allAffected = affectedKeySets.reduce(_ union _).distinct()
         gdf = gdf.join(allAffected, Seq("_key"), "left_anti")
-        if (config.abortOnEmpty && gdf.isEmpty) return abort()
+        if (emptyAbort(gdf, !allAffected.isEmpty)) return abort()
       }
     }
 

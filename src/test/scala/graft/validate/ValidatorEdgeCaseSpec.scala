@@ -72,6 +72,60 @@ class ValidatorEdgeCaseSpec extends SparkSuite {
     assert(result.survivors.get.count() === 0)
   }
 
+  test("S6: NaN values drop like the reference's dropna — no false MultipleValues") {
+    // pandas explode().dropna() (loader.py:155-159) drops NaN as well as
+    // null: {1.0, NaN} is ONE distinct value with survivor 1.0, and an
+    // all-NaN group on a required edge is MISSING, not present
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"index": "id", "edges": {
+        |  "id": {"type": "Number"}, "v": {"type": "Number"}}}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("id", DoubleType), StructField("v", DoubleType),
+        StructField("_row", LongType, nullable = false))),
+      Seq(
+        Row(1.0, 1.5, 0L), Row(1.0, Double.NaN, 1L), // {1.5, NaN} -> one value
+        Row(2.0, Double.NaN, 2L)))                   // all-NaN -> missing
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val byErr = result.violations.collect()
+      .groupBy(_.getAs[String]("err")).view.mapValues(_.length).toMap
+    assert(!byErr.contains("MultipleValues"),
+      s"NaN must not count as a distinct value: $byErr")
+    val missing = result.violations.filter("err = 'MissingValue' AND col = 'v'")
+      .collect().map(_.getAs[Long]("row")).toSet
+    assert(missing === Set(2L), "all-NaN group is a missing value")
+    val survivors = result.survivors.get.collect()
+      .map(r => r.getAs[Double]("id") -> r.getAs[Double]("v")).toMap
+    assert(survivors === Map(1.0 -> 1.5), "the NaN never wins the grouped value")
+  }
+
+  test("zero-row parity: clean empty table survives empty; extras abort before MissingIndex") {
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"index": "id", "edges": {
+        |  "id": {"type": "Number"}, "v": {"type": "String"}}}}}""".stripMargin)
+    val emptySchema = StructType(Seq(
+      StructField("id", DoubleType), StructField("v", StringType),
+      StructField("_row", LongType, nullable = false)))
+    val parity = ValidatorConfig(strictReferenceParity = true, abortOnEmpty = true)
+    // clean zero-row table: the reference only aborts on emptiness AFTER a
+    // drop, so this loads as an EMPTY model (survivors defined, 0 rows)
+    val clean = new Validator(schema, parity).validate("M", df(emptySchema, Nil))
+    assert(clean.survivors.isDefined, "clean empty table must not abort")
+    assert(clean.survivors.get.count() === 0)
+    assert(clean.violations.count() === 0)
+    // zero rows + an extra column + a MISSING index column: the reference
+    // drops the extra, sees df.empty, and returns before the missing-index
+    // check — no MissingIndex violations, survivors None
+    val extrasSchema = StructType(Seq(
+      StructField("v", StringType), StructField("junk", StringType),
+      StructField("_row", LongType, nullable = false)))
+    val extras = new Validator(schema, parity).validate("M", df(extrasSchema, Nil))
+    assert(extras.survivors.isEmpty, "post-drop empty table aborts")
+    assert(extras.violations.filter("err = 'MissingIndex'").count() === 0,
+      "the abort precedes the missing-index stage (loader.py:63-65)")
+  }
+
   test("S6: hot-key many-edge value set is bounded at cap (+ truncation report)") {
     import org.apache.spark.sql.functions._
     val schema = CompiledSchema.load(
