@@ -524,10 +524,10 @@ object SparkEntry {
         |            string_split_regex(lower(text), '[^0-9a-z\p{L}\p{N}]+'),
         |            x -> len(x) > 0))) AS t
         |         FROM ds),
-        | sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
         | pruned AS (SELECT * FROM (SELECT doc_id, t,
         |              count(*) OVER (PARTITION BY t) AS df FROM tok)
         |            WHERE df <= 500),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
         |           FROM pruned a JOIN pruned b ON a.t = b.t AND a.doc_id < b.doc_id
         |           GROUP BY 1, 2)

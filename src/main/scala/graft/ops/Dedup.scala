@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * are the bucket joins, which is the canonical MinHash/LSH layout at
   * 100 TB: signatures are O(docs), bucket join fans out only colliding
   * candidates.
+  *
+  * The near-dup pipelines persist their signature relation at
+  * MEMORY_AND_DISK (evictable): it feeds the bucket leg and both sides of
+  * the pair join-back, which shuffle on different keys, so without
+  * materialization the native signature scan runs three times. Long-lived
+  * sessions running many one-shot pipelines can reclaim the storage with
+  * `spark.catalog.clearCache()`.
   */
 object Dedup {
 
@@ -23,7 +30,13 @@ object Dedup {
     * [[boundedBucketPairs]]). The join-back reuses the aggregate's hash
     * partitioning. */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // xxhash64(NULL) is the seed constant for EVERY row: without this
+    // filter all null-text docs (failed extraction, optional field) would
+    // group together and be reported as mutual duplicates — the same
+    // degenerate-collision guard the minhash/simhash paths apply via
+    // their NULL signatures
     val hashed = df
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("_h"))
       .repartition(col("_h"))
     val groups = hashed
@@ -121,11 +134,15 @@ object Dedup {
     // token-free docs (punctuation-only/empty text) have a NULL signature
     // and are excluded: a shared degenerate signature would declare them
     // all near-duplicates of each other
+    // persisted (evictable): the signature relation feeds the bucket leg
+    // AND both sides of the pair join-back, which shuffle on different
+    // keys — without materialization the expensive native scan runs 3x
     val sigs = df.select(
       col(idCol).as("doc_id"),
       graft.functions.ShingleMinHash.shingle_minhash(
         col(textCol), shingleK, numHashes).as("_sig"))
       .filter(col("_sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = lshBuckets(sigs, "doc_id", "_sig", bands, rowsPerBand)
     val pairs = boundedBucketPairs(buckets, Seq("band_id", "band_hash"), "doc_id", maxBucketSize)
     val a = sigs.select(col("doc_id").as("doc_a"), col("_sig").as("_sig_a"))
@@ -138,28 +155,31 @@ object Dedup {
 
   // ---- exact n-gram Jaccard ---------------------------------------------------
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 RARE shingle
     * (inverted-index join). `maxDocFreq` prunes stop-shingles before the
     * self-join — the standard guard against quadratic blowup on common
-    * n-grams. Returns (doc_a, doc_b, jaccard). */
+    * n-grams — and the Jaccard is defined over that same post-prune
+    * universe: sizes AND intersection both count only shingles with
+    * docFreq ≤ maxDocFreq. Mixing pre-prune sizes with a post-prune
+    * intersection (the naive formulation) systematically underestimates —
+    * two identical docs whose shingles are half boilerplate would score
+    * 0.33, not 1.0, and never be reported. Returns (doc_a, doc_b, jaccard). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    // ONE tokenize+explode pass, ONE shuffle: the inverted index is
-    // explicitly hash-partitioned on shingle, and that single exchange is
-    // reused by (a) the doc-freq count, (b) the prune join, and (c) both
-    // sides of the self-join — Spark's ReuseExchange needs the explicit
-    // boundary; without it each consumer re-runs the expensive shingle
-    // Generate. Doc sizes ride along in the index rows (+1 long per row)
-    // so no second tokenize scan or per-side size join is needed.
+    // ONE tokenize+explode pass, ONE shingle-keyed shuffle: the inverted
+    // index is explicitly hash-partitioned on shingle, and that single
+    // exchange is reused by (a) the doc-freq count, (b) the prune join,
+    // (c) both sides of the self-join, and (d) the post-prune size
+    // aggregate — Spark's ReuseExchange needs the explicit boundary;
+    // without it each consumer re-runs the expensive shingle Generate.
     // Doc-freq prune is a hash aggregate + colocated join — NOT a window,
     // which would additionally SORT the entire inverted index.
     // native distinct-shingle-hash expression: one tight loop per doc, and
     // the inverted index shuffles 8-byte longs instead of shingle strings
     val inv = df
       .select(col(idCol).as("doc_id"),
-        graft.functions.ShingleHashes.shingle_hashes(col(textCol), n).as("_sh"))
-      .select(col("doc_id"), size(col("_sh")).as("_sz"), explode(col("_sh")).as("shingle"))
+        explode(graft.functions.ShingleHashes.shingle_hashes(col(textCol), n)).as("shingle"))
       .repartition(col("shingle"))
     val rare = inv.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDocFreq).select("shingle")
@@ -170,9 +190,13 @@ object Dedup {
     val inter = pruned.as("x").join(pruned.as("y"), "shingle")
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("_inter"),
-        min(col("x._sz")).as("_sza"), min(col("y._sz")).as("_szb"))
+      .agg(count(lit(1)).as("_inter"))
+    // per-doc RARE shingle count — one row per doc, joined to the sparse
+    // candidate-pair set (pairs exist only for docs sharing a rare shingle)
+    val rareSz = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("_rsz"))
     inter
+      .join(rareSz.select(col("doc_id").as("doc_a"), col("_rsz").as("_sza")), "doc_a")
+      .join(rareSz.select(col("doc_id").as("doc_b"), col("_rsz").as("_szb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("_inter").cast("double") /
           (col("_sza") + col("_szb") - col("_inter"))).as("jaccard"))
@@ -211,10 +235,12 @@ object Dedup {
   def simHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     // token-free docs have a NULL fingerprint and are excluded (see the
-    // matching guard in minHashNearDuplicates)
+    // matching guard in minHashNearDuplicates); persisted for the same
+    // three-consumer reason as the minhash signature relation
     val fp = df.select(col(idCol).as("doc_id"),
       graft.functions.SimHash64.simhash64(col(textCol)).as("_fp"))
       .filter(col("_fp").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = fp.select(col("doc_id"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("_fp"), i * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -238,9 +264,9 @@ object Dedup {
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double = 0.95, planes: Int = 16,
                               maxBucketSize: Int = 1000): DataFrame = {
-    val sig = get(graft.functions.HyperplaneSignatures
-      .hyperplane_signatures(col(vecCol), planes, 1), lit(0))
+    val sig = Similarity.hyperplaneSignature(col(vecCol), planes)
     val withSig = df.select(col(idCol).as("doc_id"), col(vecCol).as("_v"), sig.as("_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = boundedBucketPairs(
       withSig.select(col("doc_id"), col("_b")), Seq("_b"), "doc_id", maxBucketSize)
     val a = withSig.select(col("doc_id").as("doc_a"), col("_v").as("_va"))

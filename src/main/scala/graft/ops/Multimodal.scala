@@ -157,7 +157,12 @@ object Multimodal {
                     bitsPerSample: Int = 16): Array[Byte] = {
     val blockAlign = channels * bitsPerSample / 8
     val byteRate = sampleRateHz * blockAlign
-    val dataLen = byteRate * millis / 1000
+    // Long arithmetic: byteRate * millis overflows Int at ~12 s of 44.1 kHz
+    // stereo 16-bit; round down to a whole block
+    val dataLenL = byteRate.toLong * millis / 1000 / blockAlign * blockAlign
+    require(dataLenL <= Int.MaxValue - 44,
+      s"requested WAV data section ($dataLenL bytes) exceeds the 2 GiB single-buffer bound")
+    val dataLen = dataLenL.toInt
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -283,7 +288,11 @@ object Multimodal {
     * `targetPartitionBytes` per task using the average blob size — the
     * knob that keeps executor memory bounded when blobs are MBs each. */
   def repartitionBySize(df: DataFrame, totalBytes: Long, targetPartitionBytes: Long): DataFrame = {
-    val parts = math.max(1, (totalBytes / math.max(1L, targetPartitionBytes)).toInt)
+    // clamp BEFORE narrowing: a petabyte/megabyte ratio wraps Int negative
+    // and math.max(1, ...) would collapse to ONE partition — the opposite
+    // of this knob's purpose
+    val ratio = totalBytes / math.max(1L, targetPartitionBytes)
+    val parts = math.max(1L, math.min(Int.MaxValue.toLong, ratio)).toInt
     df.repartition(parts)
   }
 }

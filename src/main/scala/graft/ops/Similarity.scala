@@ -17,7 +17,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; NULL (never NaN, never an error) when either side
+    * has zero norm or NaN elements. Under ANSI mode a zero divisor is a
+    * runtime DIVIDE_BY_ZERO that would kill the whole job on one
+    * degenerate vector (`try_divide` → NULL); and a NaN from NaN elements
+    * would sort ABOVE every real value in `desc` rankings and pass
+    * `>= threshold` filters (`nanvl` → NULL). NULL sorts last under desc
+    * and fails every filter. */
+  def cosine(a: Column, b: Column): Column =
+    nanvl(try_divide(dot(a, b), norm(a) * norm(b)), lit(null).cast("double"))
 
   /** Sign-bit signature of `planes` random hyperplanes, packed into a
     * long — buckets for approximate cosine search (SimHash for vectors).
@@ -68,6 +76,10 @@ object Similarity {
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planes: Int = 16, tables: Int = 8, probeBits: Int = 1,
               maxBucketSize: Int = 10000): DataFrame = {
+    require(probeBits <= 1,
+      s"probeBits=$probeBits: multiprobe supports 0 (off) or 1 (single-bit " +
+        "flips); higher-order flips are unimplemented and would otherwise " +
+        "silently behave as 1")
     // (table_id, signature) packed into one long: table in high bits
     def buckets(vecCol: String): Column =
       transform(

@@ -17,6 +17,55 @@ class SimilarityTextSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-6)
   }
 
+  test("degenerate inputs: zero vectors, null texts, token-free docs stay inert") {
+    // cosine(zero, x) is NULL, not NaN — NaN sorts ABOVE every real score
+    // under desc and passes >= filters, so a garbage item would head every
+    // query's top-k and zero-vector pairs would report as near-dups
+    val items = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (99L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(items, "vec_id", "embedding",
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "query_id", "qvec", k = 3).collect()
+    val byRank = top.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("item_id")).toSeq
+    assert(byRank.take(2) == Seq(1L, 2L),
+      s"the zero-norm item must rank below every real score, got $byRank")
+    val dups = Dedup.embeddingNearDuplicates(items, "vec_id", "embedding",
+      threshold = 0.9, planes = 4, maxBucketSize = 100)
+    assert(!dups.collect().exists(x => x.getLong(0) == 99L || x.getLong(1) == 99L),
+      "zero-vector pairs (cosine NULL) must not pass the threshold filter")
+    // null texts: xxhash64(NULL) is a constant — null-text docs must not
+    // group as mutual exact duplicates
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "real text"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactDuplicates(docs, "doc_id", "text").count() == 0)
+    // token-free docs share no winnowed passage
+    val junk = Seq((1L, "!!!"), (2L, "???"), (3L, null: String))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.winnowedFingerprints(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    assert(junk.forall(_.isEmpty), "token-free docs must fingerprint to the empty set")
+  }
+
+  test("jaccard over the rare-shingle universe: boilerplate does not dilute identical docs") {
+    // regression: pre-prune sizes with a post-prune intersection scored
+    // identical half-boilerplate docs at ~0.33 and never reported them
+    val boiler = "common shared boilerplate header words everyone has"
+    val docs = Seq(
+      (1L, s"$boiler unique alpha beta gamma delta"),
+      (2L, s"$boiler unique alpha beta gamma delta"), // identical to 1
+      (3L, s"$boiler totally different tail content here"),
+      (4L, s"$boiler another unrelated ending entirely now")
+    ).toDF("doc_id", "text")
+    // maxDocFreq=3 prunes the boilerplate shingles (present in all 4 docs)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.99, maxDocFreq = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"identical docs must score 1.0 over the rare-shingle universe, got $pairs")
+  }
+
   test("brute-force top-k returns exact nearest neighbors on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 3)
