@@ -82,10 +82,15 @@ case class BoundedDistinctSet(
     }
   }
 
+  // plan-time property, hoisted: matching child.dataType per input row
+  // would re-walk the expression tree on the aggregate hot path
+  @transient private lazy val childIsArray: Boolean =
+    child.dataType.isInstanceOf[ArrayType]
+
   override def update(buf: java.util.TreeSet[Any], input: InternalRow): java.util.TreeSet[Any] = {
     val v = child.eval(input)
-    if (v != null) child.dataType match {
-      case ArrayType(_, _) =>
+    if (v != null) {
+      if (childIsArray) {
         val arr = v.asInstanceOf[ArrayData]
         var i = 0
         val n = arr.numElements()
@@ -93,7 +98,7 @@ case class BoundedDistinctSet(
           if (!arr.isNullAt(i)) add(buf, arr.get(i, elementType))
           i += 1
         }
-      case _ => add(buf, v)
+      } else add(buf, v)
     }
     buf
   }

@@ -26,11 +26,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 /** Mixin for vector-consuming unary natives: caches the float/double
   * `ArrayData => double[]` dispatch once per expression instance, so
   * interpreted eval (codegen disabled or fallen back) never re-branches
-  * on the DataType — or allocates a closure — per row. New vector
-  * expressions mix this in instead of re-deriving the dispatch. */
+  * on the DataType — or allocates a closure — per row, and rejects
+  * non-vector children AT ANALYSIS (not as a mid-job executor cast
+  * error). New vector expressions mix this in instead of re-deriving
+  * the dispatch. */
 trait VectorArgExpression { self: UnaryExpression =>
   @transient protected final lazy val convert: ArrayData => Array[Double] =
     HyperplaneSignatures.toDoubles(child.dataType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"${getClass.getSimpleName} requires array<float|double>, got $other")
+    }
 }
 
 case class HyperplaneSignatures(child: Expression, planes: Int, tables: Int)
@@ -56,15 +67,8 @@ case class HyperplaneSignatures(child: Expression, planes: Int, tables: Int)
 }
 
 object HyperplaneSignatures {
-  private final val GOLDEN = 0x9e3779b97f4a7c15L
+  import HashKernel.{GOLDEN, mix}
   private final val PRIME2 = 0xc2b2ae3d27d4eb4fL
-
-  @inline private def mix(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
 
   /** Deterministic component of hyperplane `plane` at dimension `dim`,
     * roughly uniform in [-1, 1). */

@@ -13,8 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * use m=nProbe (the probed cells). Centroids are a plan-time constant —
   * they ship inside the serialized expression, the executor-side analogue
   * of a broadcast. */
-case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], m: Int)
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], m: Int)
   extends UnaryExpression with VectorArgExpression {
+  // Seq (structural equality), NOT Array (reference equality): a case
+  // class holding arrays breaks Catalyst semantic equality, so two
+  // expressions built from equal-but-distinct centroid matrices (items
+  // leg vs queries leg) could never share subexpressions or exchanges
 
   require(centroids.nonEmpty && m >= 1 && m <= centroids.length)
 
@@ -22,10 +26,11 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
   override def nullIntolerant: Boolean = true
 
   // pre-normalized once per (deserialized) expression instance
-  @transient private lazy val unit: Array[Array[Double]] = centroids.map { c =>
+  @transient private lazy val unit: Array[Array[Double]] = centroids.map { c0 =>
+    val c = c0.toArray
     val n = math.sqrt(c.map(x => x * x).sum)
     if (n == 0) c else c.map(_ / n)
-  }
+  }.toArray
 
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(
@@ -51,17 +56,24 @@ object NearestCentroids {
     new GenericArrayData(nearest(v, unitCentroids, m))
 
   /** Indices of the `m` unit-centroids with the largest dot product against
-    * `v` (cosine order — `v`'s own norm is rank-invariant). */
+    * `v` (cosine order — `v`'s own norm is rank-invariant). A
+    * dimension-mismatched vector is an ERROR, not a silent prefix dot
+    * product: a corrupt row would otherwise be filed into a meaningless
+    * cell and become unfindable with no diagnostic anywhere (the training
+    * path crashes on the same defect — the policies must agree). */
   def nearest(v: Array[Double], unitCentroids: Array[Array[Double]], m: Int): Array[Int] = {
     val k = unitCentroids.length
+    val dim = unitCentroids(0).length
+    if (v.length != dim)
+      throw new IllegalArgumentException(
+        s"embedding dimension ${v.length} does not match the centroid dimension $dim")
     val scores = new Array[Double](k)
     var c = 0
     while (c < k) {
       val cent = unitCentroids(c)
-      val d = math.min(cent.length, v.length)
       var s = 0.0
       var i = 0
-      while (i < d) { s += v(i) * cent(i); i += 1 }
+      while (i < dim) { s += v(i) * cent(i); i += 1 }
       // NaN scores (e.g. NaN elements from upstream zero-vector
       // normalization) clamp to -inf ONCE at fill time: the row still
       // deterministically lands in the lowest-id untaken cells instead of
@@ -89,5 +101,6 @@ object NearestCentroids {
 
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], m: Int): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
-      NearestCentroids(org.apache.spark.sql.GraftExpressionBridge.expression(c), centroids, m))
+      NearestCentroids(org.apache.spark.sql.GraftExpressionBridge.expression(c),
+        centroids.map(_.toSeq).toSeq, m))
 }

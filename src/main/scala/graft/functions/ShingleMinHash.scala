@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * that case.
   */
 case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with StringArgExpression {
 
   require(k >= 1 && numHashes >= 1)
 
@@ -54,17 +54,7 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
 }
 
 object ShingleMinHash {
-  private final val FNV_OFFSET = 0xcbf29ce484222325L
-  private final val FNV_PRIME = 0x100000001b3L
-  private final val GOLDEN = 0x9e3779b97f4a7c15L
-
-  /** splitmix64 finalizer — the per-function mixer of the hash family. */
-  @inline private def mix(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import HashKernel.{FNV_OFFSET, FNV_PRIME, GOLDEN, mix}
 
   /** FNV-1a over a char range, splitmix-finalized. */
   @inline private def hashRange(s: String, from: Int, until: Int): Long = {
@@ -173,7 +163,7 @@ object ShingleMinHash {
 /** Distinct word-k-shingle hashes as one native expression (see
   * [[ShingleMinHash.shingleHashSet]]). */
 case class ShingleHashes(child: Expression, k: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with StringArgExpression {
   require(k >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

@@ -10,7 +10,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * 64-bit hash → per-bit vote → packed fingerprint, in a single JVM loop
   * per row (same rationale as [[ShingleMinHash]]: the pure-Catalyst
   * formulation needs 64 interpreted `aggregate` lambdas per row). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with StringArgExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -39,20 +39,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  private final val FNV_OFFSET = 0xcbf29ce484222325L
-  private final val FNV_PRIME = 0x100000001b3L
-
-  @inline private def mix(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  def fingerprint(text: String): Long = {
-    val fp = fingerprintOrNull(text)
-    if (fp == null) 0L else fp.longValue()
-  }
+  import HashKernel.{FNV_OFFSET, FNV_PRIME, mix}
+  // no unboxed convenience method: a null-to-0L fallback would give every
+  // token-free doc fingerprint 0L — exactly the degenerate shared
+  // fingerprint the NULL contract exists to prevent
 
   /** Codegen/eval entry point. */
   def fingerprintBoxed(text: UTF8String): java.lang.Long = fingerprintOrNull(text.toString)

@@ -20,15 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * arrays — no String materialization).
   */
 object TextProfile {
-  private final val FNV_OFFSET = 0xcbf29ce484222325L
-  private final val FNV_PRIME = 0x100000001b3L
-
-  @inline private def mixHash(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import HashKernel.{FNV_OFFSET, FNV_PRIME, isWs, mix => mixHash}
 
   @inline private def hashToken(s: String, from: Int, until: Int): Long = {
     var h = FNV_OFFSET
@@ -53,38 +45,46 @@ object TextProfile {
       counts: Array[Long], nTokens: Long, lenSum: Long, nPunct: Long, nChars: Int)
 
   def profile(text: String): Profile = {
-    // iterate the ORIGINAL string (nChars/nPunct must match length(text)
-    // and the punct regex over the source text — String.toLowerCase can
-    // change the length); tokens hash through per-char lowering, which
-    // matches string lowering for every 1:1 mapping (all of ASCII)
+    // iterate the ORIGINAL string by CODEPOINT (nChars/nPunct must match
+    // Spark's length(text) and the punct regex, both of which count
+    // codepoints — charAt iteration would count a surrogate pair as two
+    // punctuation marks and two chars); tokens hash through per-codepoint
+    // lowering, which matches string lowering for every 1:1 mapping (all
+    // of ASCII). Whitespace = regex `\s` (HashKernel.isWs), NOT
+    // Character.isWhitespace, for split("\\s+") parity.
     val len = text.length
     val counts = new Array[Long](stopwordHashes.length)
     var nTokens = 0L
     var lenSum = 0L
     var nPunct = 0L
+    var nChars = 0
     var i = 0
     while (i < len) {
-      val c = text.charAt(i)
-      if (Character.isLetterOrDigit(c)) {
-        val start = i
+      val cp = text.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) {
         var h = FNV_OFFSET
-        while (i < len && Character.isLetterOrDigit(text.charAt(i))) {
-          h = (h ^ Character.toLowerCase(text.charAt(i)).toLong) * FNV_PRIME; i += 1
-        }
+        while (i < len && {
+          val c2 = text.codePointAt(i)
+          if (Character.isLetterOrDigit(c2)) {
+            h = (h ^ Character.toLowerCase(c2).toLong) * FNV_PRIME
+            nChars += 1; lenSum += 1
+            i += Character.charCount(c2); true
+          } else false
+        }) ()
         val th = mixHash(h)
         nTokens += 1
-        lenSum += (i - start)
         var l = 0
         while (l < counts.length) {
           if (java.util.Arrays.binarySearch(stopwordHashes(l), th) >= 0) counts(l) += 1
           l += 1
         }
       } else {
-        if (!Character.isWhitespace(c)) nPunct += 1
-        i += 1
+        nChars += 1
+        if (!isWs(cp)) nPunct += 1
+        i += Character.charCount(cp)
       }
     }
-    Profile(counts, nTokens, lenSum, nPunct, len)
+    Profile(counts, nTokens, lenSum, nPunct, nChars)
   }
 
   /** Argmax stopword-count language, ties to lexicographically greatest;
@@ -136,7 +136,7 @@ object TextProfile {
   * `regexp_count + aggregate(filter(split(...)))` HOF formulation, which
   * needed two extra regex passes and an interpreted lambda per row).
   * Replaces two regex passes + an interpreted HOF filter per row. */
-case class TextStats(child: Expression) extends UnaryExpression {
+case class TextStats(child: Expression) extends UnaryExpression with StringArgExpression {
   import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   override def dataType: DataType = StructType(Seq(
     StructField("ws_tokens", IntegerType, nullable = false),
@@ -153,34 +153,45 @@ case class TextStats(child: Expression) extends UnaryExpression {
 }
 
 object TextStats {
-  /** Codegen/eval entry point: one scan over the string.
-    * bpe_tokens: a letter RUN counts 1 (+ (runLen-1)/6 when runLen > 6),
-    * each digit counts 1, each non-space punct counts 1. (Character.isDigit
-    * vs the HOF's `\p{N}` differ only outside ASCII — this corpus and the
-    * oracle are ASCII; documents deviating need the regex leg.) */
+  /** Codegen/eval entry point: one scan over the string, by CODEPOINT
+    * (n_chars must equal Spark's length(text), which counts codepoints —
+    * char iteration would count a surrogate pair twice and classify both
+    * halves as punctuation). Whitespace = regex `\s` (HashKernel.isWs)
+    * for split("\\s+") parity — Character.isWhitespace also matches
+    * U+001C..U+001F and Unicode spaces and diverges from the regex
+    * formulations there. bpe_tokens: a letter RUN counts 1
+    * (+ (runLen-1)/6 when runLen > 6), each digit counts 1, each
+    * non-space punct counts 1. (Character.isDigit vs the HOF's `\p{N}`
+    * differ only outside ASCII — this corpus and the oracle are ASCII;
+    * documents deviating need the regex leg.) */
   def compute(u: UTF8String): InternalRow = {
+    import HashKernel.isWs
     val s = u.toString
     var i = 0; var ws = 0; var punct = 0; var bpe = 0; var run = 0
+    var nChars = 0
+    var prevWs = true
     val len = s.length
     while (i < len) {
-      val c = s.charAt(i)
-      if (Character.isLetter(c)) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      val w = isWs(cp)
+      if (Character.isLetter(cp)) {
         if (run == 0) bpe += 1 // run start
         run += 1
       } else {
         if (run > 6) bpe += (run - 1) / 6
         run = 0
-        if (!Character.isWhitespace(c)) {
+        if (!w) {
           bpe += 1 // digit or punct single
-          if (!Character.isDigit(c)) punct += 1
+          if (!Character.isDigit(cp)) punct += 1
         }
       }
-      if (!Character.isWhitespace(c) && (i == 0 || Character.isWhitespace(s.charAt(i - 1))))
-        ws += 1
-      i += 1
+      if (!w && prevWs) ws += 1
+      prevWs = w
+      i += Character.charCount(cp)
     }
     if (run > 6) bpe += (run - 1) / 6
-    InternalRow(ws, len, punct, bpe)
+    InternalRow(ws, nChars, punct, bpe)
   }
 
   def text_stats(c: Column): Column =
@@ -190,7 +201,7 @@ object TextStats {
 
 /** Native language-id: one tokenize pass, stopword-hash membership,
   * integer-exact threshold. */
-case class LangId(child: Expression) extends UnaryExpression {
+case class LangId(child: Expression) extends UnaryExpression with StringArgExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
@@ -208,7 +219,7 @@ object LangId {
 }
 
 /** Native composite quality score (see [[TextProfile.qualityScore]]). */
-case class QualityScore(child: Expression) extends UnaryExpression {
+case class QualityScore(child: Expression) extends UnaryExpression with StringArgExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
