@@ -61,8 +61,11 @@ object ExprCompiler {
         // stack or args (kyepy vm.py:67-71). Spark cast is try-semantics
         // (null on failure); the column-level all-or-nothing verdict of the
         // reference is enforced by the validator's null-delta guard.
-        val List(target) = cmd.args.takeRight(1)
-        val src = (stackArgs ++ cmd.args.dropRight(1).map(litArg)).head
+        val target = cmd.args.lastOption.getOrElse(
+          throw new IllegalArgumentException(
+            "CAST requires an inline target-type argument (e.g. {\"cast\": \"float\"})"))
+        val src = (stackArgs ++ cmd.args.dropRight(1).map(litArg)).headOption.getOrElse(
+          throw new IllegalArgumentException("CAST has no operand on the stack or in args"))
         // try_cast: null on failure even under ANSI mode; the reference's
         // column-level all-or-nothing rejection is enforced by the
         // validator's null-delta guard, not by a runtime exception.

@@ -155,6 +155,10 @@ object KyeParser {
           while (i < src.length && src(i) != '"') {
             if (src(i) == '\n') line += 1
             if (src(i) == '\\' && i + 1 < src.length) {
+              // the escape consumes TWO chars — a backslash-escaped real
+              // newline must still bump the line counter or every later
+              // error underlines the wrong source line
+              if (src(i + 1) == '\n') line += 1
               sb.append(src(i + 1) match {
                 case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
                 case o => o
@@ -166,6 +170,9 @@ object KyeParser {
           push(TStr(sb.toString, loc()))
         }
         else if (c == '/' && !isValueEnd(prev)) { // regex (never after a value)
+          // no escape handling BY PARITY: the reference terminal is
+          // `"/" /.*?/ "/"` (grammar.lark:96) — lazy up to the first
+          // slash, so `\/` is not expressible there either
           val sb = new StringBuilder; i += 1
           while (i < src.length && src(i) != '/') { sb.append(src(i)); i += 1 }
           if (i >= src.length) reporter.report("Unterminated regex", loc())
@@ -310,7 +317,7 @@ object KyeParser {
       val out = List.newBuilder[String]
       while (!at(")")) next() match {
         case TEdge(n, _) => out += n
-        case other => err(s"expected edge name in index, found $other")
+        case other => err(s"expected edge name in index, found ${describe(other)}")
       }
       expect(")")
       out.result()
@@ -341,7 +348,7 @@ object KyeParser {
         }
         expect(":")
         SEdge(name, title, card, parseExpr(), line)
-      case other => err(s"expected statement, found $other")
+      case other => err(s"expected statement, found ${describe(other)}")
     }
 
     // precedence: | then ^ then & then comparison then +- then */% then unary
@@ -439,12 +446,11 @@ object KyeParser {
       for (s <- stmts) s match {
         case SType(name, expr0, line) =>
           val expr = substitute(expr0)
+          // ref-free non-alias expressions are inlined (aliases map); a
+          // plain alias (ETypeId) or anything still carrying refs
+          // survives to the Builder
           if (!hasRefs(expr) && !expr.isInstanceOf[ETypeId]) aliases(name) = expr
-          else expr match {
-            case ETypeId(_) if !hasRefs(expr) => out += SType(name, expr, line)
-            case _ if !hasRefs(expr) => aliases(name) = expr
-            case _ => out += SType(name, expr, line)
-          }
+          else out += SType(name, expr, line)
         case SModel(name, indexes, body, line) =>
           val newBody = List.newBuilder[Stmt]
           val extraAsserts = List.newBuilder[Stmt]
@@ -513,12 +519,24 @@ object KyeParser {
       // alias-to-type statements surviving desugar: X: Number clones
       val typeAliases = scala.collection.mutable.Map[String, String]()
       val natives = Set("Boolean", "Number", "Integer", "String")
-      def rootType(name: String): String =
-        if (natives(name)) name
-        else typeAliases.get(name) match {
-          case Some(p) => rootType(p)
-          case None => throw new IllegalArgumentException(s"Type $name not defined")
-        }
+      // cycle-guarded: `A: A` (or A: B / B: A) must be a clean compile
+      // error, not an infinite loop. (The reference terminates on cycles
+      // by construction — visit_type resolves the parent BEFORE defining
+      // the alias, so a self-reference is 'Type A not defined.',
+      // type_builder.py:92-97,126-128; our two-pass alias map needs the
+      // explicit guard.)
+      def rootType(name: String): String = {
+        @annotation.tailrec
+        def resolve(n: String, seen: Set[String]): String =
+          if (natives(n)) n
+          else if (seen(n))
+            throw new IllegalArgumentException(s"Circular type alias '$name'")
+          else typeAliases.get(n) match {
+            case Some(p) => resolve(p, seen + n)
+            case None => throw new IllegalArgumentException(s"Type $n not defined")
+          }
+        resolve(name, Set.empty)
+      }
 
       val models = scala.collection.mutable.LinkedHashMap[String, Model]()
       for (s <- stmts) s match {
@@ -529,6 +547,10 @@ object KyeParser {
           val edges = scala.collection.mutable.LinkedHashMap[String, Edge]()
           val assertions = List.newBuilder[Assertion]
           for (b <- body) b match {
+            // duplicate edge names are last-wins BY PARITY (the reference
+            // Types.define is a plain dict assignment, types.py:108-113 —
+            // it even appends a duplicate edge_order entry); same for
+            // duplicate model names below
             case SEdge(en, title, card, ETypeId(tn), _) =>
               val (none, many) = card match {
                 case Some('!') => (false, false)
@@ -542,6 +564,10 @@ object KyeParser {
             case SEdge(en, _, _, other, _) =>
               throw new IllegalArgumentException(s"unsupported edge expr $en: $other")
             case SAssert(expr, _) =>
+              // msg = "" BY PARITY: the reference compiler also emits
+              // empty messages for DSL assertions (compiler.py:60
+              // `msg=''`); non-empty msgs exist only in hand-written
+              // artifacts
               assertions += Assertion(model = name, msg = "",
                 expr = toPostfix(expr), loc = None)
             case other =>
@@ -587,10 +613,10 @@ object KyeParser {
         case EUnary("!", r) => toPostfix(r) :+ Cmd(Op.NOT)
         case EUnary(op, _) => throw new IllegalArgumentException(s"unary $op unsupported")
         case ECall("matches", List(obj, pat)) =>
-          (patVal(pat) match {
+          patVal(pat) match {
             case Some(p) => toPostfix(obj) :+ Cmd(Op.MATCHES, List(p))
             case None => toPostfix(obj) ++ toPostfix(pat) :+ Cmd(Op.MATCHES)
-          }) match { case l => l }
+          }
         case ECall(c, _) => throw new IllegalArgumentException(s"call $c unsupported")
         case EBinary("^", l, r) =>
           // xor as (l | r) & !(l & r) — superset; reference cannot compile ^

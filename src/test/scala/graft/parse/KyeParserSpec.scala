@@ -243,4 +243,20 @@ class KyeParserSpec extends AnyFunSuite {
     assert(ex2.errors.head.msg.contains("outside a model"))
     assert(ex2.errors.head.loc.line == 1)
   }
+
+  test("cyclic type aliases are a clean compile error, not an infinite loop") {
+    val self = KyeParser.compileEither("A: A\nM(id) { id: A }").left.getOrElse(Nil)
+    assert(self.exists(_.msg.toLowerCase.contains("circular")), s"got $self")
+    val mutual = KyeParser.compileEither("A: B\nB: A\nM(id) { id: A }").left.getOrElse(Nil)
+    assert(mutual.exists(_.msg.toLowerCase.contains("circular")), s"got $mutual")
+  }
+
+  test("backslash-escaped newline inside a string keeps later error lines correct") {
+    // the escape branch consumes two chars; a real newline inside it must
+    // still bump the line counter or every later Loc is off by one
+    val src = "M(id) {\n  id \"a\\\nb\": Number\n  assert id > 1.2.3\n}"
+    val errs = KyeParser.compileEither(src).left.getOrElse(Nil)
+    assert(errs.nonEmpty)
+    assert(errs.head.loc.line == 4, s"error should anchor line 4, got ${errs.head.loc}")
+  }
 }
