@@ -54,11 +54,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (errors.exists(_._1 == name)) -1.0 else dt)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.io.JsonText.quote(s)
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -16,9 +16,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var nFailed = 0
+    // the stale-output guard must FAIL LOUD: a silently-failed delete
+    // (ignored boolean, null listFiles on I/O error) would leave the
+    // previous round's parquet for the driver to compare — a false green
     def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-      f.delete(); ()
+      if (f.isDirectory) {
+        val children = f.listFiles()
+        if (children == null && f.exists())
+          throw new java.io.IOException(s"cannot list $f — stale-output guard bypassed")
+        Option(children).getOrElse(Array.empty).foreach(deleteRecursively)
+      }
+      if (f.exists() && !f.delete())
+        throw new java.io.IOException(s"failed to delete $f — stale output would survive")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       // stale-output guard: a query failing BEFORE its overwrite executes
@@ -33,18 +42,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = graft.io.JsonText.quote(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -27,6 +27,11 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val mode = args.head
+    // validate BEFORE paying SparkSession startup: an unknown mode or a
+    // malformed option must not spin up a local cluster just to print usage
+    if (mode != "kye" && mode != "transcripts") {
+      System.err.println(s"unknown mode $mode"); usage(); sys.exit(2)
+    }
     val opts = parseOpts(args.tail)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -38,10 +43,12 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val hadViolations =
-      mode match {
-        case "kye" => runKye(spark, opts)
-        case "transcripts" => runTranscripts(spark, opts)
-        case m => System.err.println(s"unknown mode $m"); usage(); sys.exit(2)
+      try {
+        if (mode == "kye") runKye(spark, opts) else runTranscripts(spark, opts)
+      } catch {
+        // error-exit paths must still stop the session (not lean on JVM
+        // exit cleanup); re-throw after stopping
+        case e: Throwable => spark.stop(); throw e
       }
     spark.stop()
     if (hadViolations) sys.exit(65)
@@ -65,16 +72,16 @@ object Main {
           case e: graft.parse.KyeParser.CompileException =>
             System.err.println(e.rendered)
             System.err.println(s"${e.errors.length} compile error(s)")
+            spark.stop() // exit path must not lean on JVM shutdown cleanup
             sys.exit(65)
         }
       else if (schemaPath.endsWith(".yaml") || schemaPath.endsWith(".yml"))
         CompiledSchema.fromYaml(text) // normalize precompiled input too
       else CompiledSchema.fromJson(text)
-    val schema =
-      if (schemaPath.endsWith(".kye"))
-        CompiledSchema.nativeTypes.merge(compiledOnly)
-      else CompiledSchema.load(text,
-        yaml = schemaPath.endsWith(".yaml") || schemaPath.endsWith(".yml"))
+    // CompiledSchema.load(text) is exactly fromX + nativeTypes.merge —
+    // merging the already-parsed artifact avoids a second Jackson parse
+    // and a branch that could drift from the compiledOnly one above
+    val schema = CompiledSchema.nativeTypes.merge(compiledOnly)
     // --compile out.(json|yaml|yml): write the compiled artifact
     // (kye/cli.py:75-76 `-c`); compile-only runs need no --model/--data
     opts.get("compile").foreach { out =>
@@ -171,8 +178,13 @@ object Main {
         c == "_row" || vioCols.contains(c) || keepSrc.contains(c))
       withIds.filter(col("_row").isin(vioRowIds: _*))
         .select(keep.map(col): _*).orderBy("_row").show(10, truncate = false)
-      if (totalViolations > vioRowIds.length)
-        println(s"... and ${totalViolations - vioRowIds.length} more violation rows")
+      // compare distinct violation ROWS to rows shown — one row failing
+      // three assertions is still one row, not "2 more rows" (violations
+      // is cached, so the distinct count is cheap)
+      val distinctVioRows = violations.filter(col("row").isNotNull)
+        .select("row").distinct().count()
+      if (distinctVioRows > vioRowIds.length)
+        println(s"... and ${distinctVioRows - vioRowIds.length} more violation rows")
     }
     println(s"$totalViolations violations; survivors=" +
       result.survivors.map(_.count().toString).getOrElse("<aborted>"))
@@ -213,20 +225,30 @@ object Main {
         n
     }
 
-    // drift leg: compare against (or write) a baseline histogram snapshot
-    val data = source.read()
-    def hists(): Map[String, Drift.Histogram] = Map(
-      "role" -> Drift.collect(StatsProfiler.categoricalHistogram(data, col("role"))),
-      "text_len" -> Drift.collect(
-        StatsProfiler.numericHistogram(data, length(col("text")), 0, 20, 20)))
+    // drift leg: compare against (or write) a baseline histogram snapshot.
+    // lazy + shared: --baseline AND --write-baseline together must scan
+    // the table once for the histograms, not twice, and a run using
+    // neither flag must not read the table here at all
+    lazy val cur: Map[String, Drift.Histogram] = {
+      val data = source.read()
+      Map(
+        "role" -> Drift.collect(StatsProfiler.categoricalHistogram(data, col("role"))),
+        "text_len" -> Drift.collect(
+          StatsProfiler.numericHistogram(data, length(col("text")), 0, 20, 20)))
+    }
     opts.get("write-baseline").foreach { p =>
-      Files.writeString(Paths.get(p), Drift.snapshotToJson(hists()))
+      Files.writeString(Paths.get(p), Drift.snapshotToJson(cur))
       println(s"wrote baseline snapshot $p")
     }
     val drifted = opts.get("baseline").exists { p =>
       val base = Drift.snapshotFromJson(Files.readString(Paths.get(p)))
-      val cur = hists()
-      val verdicts = base.keys.toSeq.sorted.map(k => Drift.verdict(k, base(k), cur(k)))
+      // a baseline from a different build may carry metrics this build
+      // doesn't produce: warn and skip, never crash after validation
+      // already completed
+      (base.keySet diff cur.keySet).toSeq.sorted.foreach(k =>
+        System.err.println(s"warning: baseline metric '$k' not produced by this build — skipped"))
+      val verdicts = (base.keySet intersect cur.keySet).toSeq.sorted
+        .map(k => Drift.verdict(k, base(k), cur(k)))
       verdicts.foreach(v => println(
         f"drift ${v.name}: psi=${v.psi}%.4f ks=${v.ks}%.4f drifted=${v.drifted}"))
       verdicts.exists(_.drifted)
@@ -244,6 +266,9 @@ object Main {
       spark.read.json(path)
     else spark.read.parquet(path)
 
+  /** Options that are bare flags; every other option REQUIRES a value. */
+  private val boolFlags = Set("parity", "skip-row-key-check", "content-digest")
+
   private def parseOpts(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map[String, String]()
     var i = 0
@@ -251,9 +276,15 @@ object Main {
       val a = args(i)
       if (a.startsWith("--")) {
         val key = a.stripPrefix("--")
-        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        if (boolFlags(key)) { m(key) = "true"; i += 1 }
+        else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
           m(key) = args(i + 1); i += 2
-        } else { m(key) = "true"; i += 1 }
+        } else {
+          // a silent "true" here produced misleading downstream failures
+          // (--data with a forgotten value -> "Path does not exist: .../true")
+          System.err.println(s"option --$key requires a value")
+          usage(); sys.exit(2)
+        }
       } else i += 1
     }
     m.toMap
