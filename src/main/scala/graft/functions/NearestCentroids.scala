@@ -21,6 +21,11 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], m: I
   // leg vs queries leg) could never share subexpressions or exchanges
 
   require(centroids.nonEmpty && m >= 1 && m <= centroids.length)
+  // the per-row dim guard in nearest() checks against row 0 — a ragged
+  // matrix would silently prefix-truncate longer rows or AIOOBE on
+  // shorter ones, so reject it at construction
+  require(centroids.forall(_.length == centroids.head.length),
+    "all centroid rows must share one dimension")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true

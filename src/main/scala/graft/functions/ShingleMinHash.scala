@@ -56,13 +56,8 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
 object ShingleMinHash {
   import HashKernel.{FNV_OFFSET, FNV_PRIME, GOLDEN, mix}
 
-  /** FNV-1a over a char range, splitmix-finalized. */
-  @inline private def hashRange(s: String, from: Int, until: Int): Long = {
-    var h = FNV_OFFSET
-    var i = from
-    while (i < until) { h = (h ^ s.charAt(i).toLong) * FNV_PRIME; i += 1 }
-    mix(h)
-  }
+  @inline private def hashRange(s: String, from: Int, until: Int): Long =
+    HashKernel.hashChars(s, from, until)
 
   /** Token hashes of lower-cased letter/digit runs — THE tokenizer shared
     * by every shingle-based operator (signature + exact-Jaccard must stay

@@ -22,14 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextProfile {
   import HashKernel.{FNV_OFFSET, FNV_PRIME, isWs, mix => mixHash}
 
-  @inline private def hashToken(s: String, from: Int, until: Int): Long = {
-    var h = FNV_OFFSET
-    var i = from
-    while (i < until) { h = (h ^ s.charAt(i).toLong) * FNV_PRIME; i += 1 }
-    mixHash(h)
-  }
-
-  private def hashWord(w: String): Long = hashToken(w, 0, w.length)
+  private def hashWord(w: String): Long = HashKernel.hashChars(w, 0, w.length)
 
   /** Languages in lexicographic order; ties in langId resolve to the
     * lexicographically GREATEST language (parity with round-1's
@@ -63,14 +56,18 @@ object TextProfile {
       val cp = text.codePointAt(i)
       if (Character.isLetterOrDigit(cp)) {
         var h = FNV_OFFSET
-        while (i < len && {
-          val c2 = text.codePointAt(i)
-          if (Character.isLetterOrDigit(c2)) {
-            h = (h ^ Character.toLowerCase(c2).toLong) * FNV_PRIME
-            nChars += 1; lenSum += 1
-            i += Character.charCount(c2); true
-          } else false
-        }) ()
+        // seeded with the already-read cp: one codePointAt per position
+        var c2 = cp
+        var inTok = true
+        while (inTok) {
+          h = (h ^ Character.toLowerCase(c2).toLong) * FNV_PRIME
+          nChars += 1; lenSum += 1
+          i += Character.charCount(c2)
+          if (i < len) {
+            c2 = text.codePointAt(i)
+            inTok = Character.isLetterOrDigit(c2)
+          } else inTok = false
+        }
         val th = mixHash(h)
         nTokens += 1
         var l = 0
