@@ -105,4 +105,62 @@ object StreamingValidator {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  // ---- streaming drift ------------------------------------------------------
+
+  /** Windowed categorical counts for drift monitoring: (window, _value, n)
+    * rows emitted as the watermark closes each window (append mode —
+    * state is bounded by live windows x distinct values). NULL values
+    * take the `<null>` label [[graft.transcript.Drift.collect]] uses, so
+    * streaming and batch histograms bin identically; NULL event times
+    * coalesce into the epoch-0 sentinel window like
+    * [[windowedViolationCounts]]. */
+  def windowedValueCounts(stream: DataFrame, tsCol: String, valueCol: org.apache.spark.sql.Column,
+                          watermark: String = "10 minutes",
+                          windowLen: String = "5 minutes"): DataFrame =
+    stream
+      .withColumn("_event_ts",
+        coalesce(col(tsCol), lit("1970-01-01 00:00:00").cast("timestamp")))
+      .withColumn("_value", coalesce(valueCol.cast("string"), lit("<null>")))
+      .withWatermark("_event_ts", watermark)
+      .groupBy(window(col("_event_ts"), windowLen), col("_value"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-closed-window drift verdicts against a baseline histogram; runs
+    * inside `foreachBatch`, where `batch` holds the closed-window count
+    * rows of one micro-batch. Histograms are tiny (distinct categorical
+    * values per window), so the PSI/KS math is driver-side — the same
+    * division of labor as the batch drift leg (distributed counting,
+    * local statistics). Returns (window start, verdict) in window order. */
+  def driftVerdicts(batch: DataFrame, name: String,
+                    baseline: graft.transcript.Drift.Histogram,
+                    psiThreshold: Double = 0.25): Seq[(java.sql.Timestamp, graft.transcript.Drift.DriftVerdict)] =
+    batch.collect()
+      .groupBy(_.getStruct(0).getTimestamp(0))
+      .toSeq.sortBy(_._1.getTime)
+      .map { case (start, rows) =>
+        val h: graft.transcript.Drift.Histogram = rows
+          .map(r => r.getString(1) -> r.getLong(2))
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        start -> graft.transcript.Drift.verdict(name, baseline, h, psiThreshold)
+      }
+
+  /** Continuous distribution-drift monitor — the streaming face of the
+    * north rule's drift leg: as each event-time window closes, its
+    * categorical histogram is PSI/KS-compared against the baseline
+    * snapshot and the verdict is delivered to `onVerdict` (alerting
+    * callback, verdict-table writer, ...). */
+  def startWindowedDriftMonitor(stream: DataFrame, tsCol: String,
+      valueCol: org.apache.spark.sql.Column, name: String,
+      baseline: graft.transcript.Drift.Histogram,
+      onVerdict: (java.sql.Timestamp, graft.transcript.Drift.DriftVerdict) => Unit,
+      watermark: String = "10 minutes", windowLen: String = "5 minutes",
+      psiThreshold: Double = 0.25): StreamingQuery =
+    windowedValueCounts(stream, tsCol, valueCol, watermark, windowLen)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        driftVerdicts(batch.toDF(), name, baseline, psiThreshold)
+          .foreach { case (w, v) => onVerdict(w, v) }
+      }
+      .start()
 }

@@ -46,6 +46,41 @@ class StreamingValidatorSpec extends SparkSuite {
     assert(total == batchTotal && total > 0)
   }
 
+  test("windowed drift monitor: skewed window flagged, matching window passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.transcript.Drift
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseline: Drift.Histogram = Map("a" -> 50L, "b" -> 50L)
+    val verdicts = scala.collection.mutable.ListBuffer.empty[(java.sql.Timestamp, Drift.DriftVerdict)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingValidator.startWindowedDriftMonitor(
+      input.toDF().toDF("role", "ts"), "ts", col("role"), "role", baseline,
+      (w, v) => verdicts.synchronized { verdicts += (w -> v); () },
+      watermark = "0 seconds", windowLen = "1 minute")
+    try {
+      def t(min: Int, s: Int) =
+        java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:$s%02d")
+      // window 0: balanced a/b (matches baseline); window 1: all "a"
+      input.addData((1 to 20).map(i => (if (i % 2 == 0) "a" else "b", t(0, i))): _*)
+      q.processAllAvailable()
+      input.addData((1 to 20).map(_ => ("a", t(1, 1))): _*)
+      q.processAllAvailable()
+      // watermark advance far past both windows; no-data micro-batches
+      // then flush the closed windows through the append sink
+      input.addData(("b", t(10, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byWindow = verdicts.synchronized(verdicts.toList)
+      .map { case (w, v) => w.toString.substring(11, 16) -> v }.toMap
+    assert(byWindow.contains("00:00") && byWindow.contains("00:01"),
+      s"both windows must close and report, got ${byWindow.keySet}")
+    assert(!byWindow("00:00").drifted, s"balanced window must pass: ${byWindow("00:00")}")
+    assert(byWindow("00:01").drifted, s"all-a window must flag drift: ${byWindow("00:01")}")
+    assert(byWindow("00:01").psi > byWindow("00:00").psi)
+  }
+
   test("stateful sequence check: in-batch dups and cross-batch regressions, order-free") {
     import spark.implicits._
     import StreamingValidator.TurnEvent
