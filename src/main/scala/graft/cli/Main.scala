@@ -243,10 +243,14 @@ object Main {
     val drifted = opts.get("baseline").exists { p =>
       val base = Drift.snapshotFromJson(Files.readString(Paths.get(p)))
       // a baseline from a different build may carry metrics this build
-      // doesn't produce: warn and skip, never crash after validation
-      // already completed
+      // doesn't produce (or miss ones it does): warn SYMMETRICALLY and
+      // skip, never crash after validation already completed — a silent
+      // intersect would let the operator believe every produced metric
+      // was drift-checked
       (base.keySet diff cur.keySet).toSeq.sorted.foreach(k =>
         System.err.println(s"warning: baseline metric '$k' not produced by this build — skipped"))
+      (cur.keySet diff base.keySet).toSeq.sorted.foreach(k =>
+        System.err.println(s"warning: metric '$k' missing from the baseline — NOT drift-checked (refresh with --write-baseline)"))
       val verdicts = (base.keySet intersect cur.keySet).toSeq.sorted
         .map(k => Drift.verdict(k, base(k), cur(k)))
       verdicts.foreach(v => println(

@@ -56,8 +56,6 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
 object ShingleMinHash {
   import HashKernel.{FNV_OFFSET, FNV_PRIME, GOLDEN, mix}
 
-  @inline private def hashRange(s: String, from: Int, until: Int): Long =
-    HashKernel.hashChars(s, from, until)
 
   /** Token hashes of lower-cased letter/digit runs — THE tokenizer shared
     * by every shingle-based operator (signature + exact-Jaccard must stay
@@ -78,7 +76,7 @@ object ShingleMinHash {
           System.arraycopy(hashes, 0, bigger, 0, nTok)
           hashes = bigger
         }
-        hashes(nTok) = hashRange(lower, start, i)
+        hashes(nTok) = HashKernel.hashChars(lower, start, i)
         nTok += 1
       }
     }

@@ -33,20 +33,20 @@ object StreamingValidator {
     new TranscriptValidator(cfg).rowViolations(stream)
 
   /** Watermarked tumbling-window violation counts per constraint
-    * (append-mode monitoring stream). Rows with a NULL event ts coalesce
-    * into the epoch-0 sentinel window: a null event time would get a null
-    * window the watermark never closes, so in append mode the NullTs
-    * violations — the one thing a ts-quality monitor must surface — would
-    * never be emitted. The sentinel window is always behind the watermark
-    * and flushes as soon as any real data advances it. */
+    * (append-mode monitoring stream). Rows with a NULL event time are
+    * EXCLUDED BY DEFINITION: event-time windowing cannot place them (an
+    * epoch-sentinel window would surface them only until the watermark
+    * passed it once, then silently discard every later one — a monitor
+    * that quietly stops monitoring). Their detection belongs to the
+    * unwindowed [[rowViolations]] append stream, which is stateless, has
+    * no watermark, and always emits the NullTs violation. */
   def windowedViolationCounts(stream: DataFrame, tsCol: String = "ts",
                               watermark: String = "10 minutes",
                               windowLen: String = "5 minutes",
                               cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()): DataFrame =
     new TranscriptValidator(cfg)
       .rowViolations(
-        stream.withColumn("_event_ts",
-          coalesce(col(tsCol), lit("1970-01-01 00:00:00").cast("timestamp"))),
+        stream.filter(col(tsCol).isNotNull).withColumn("_event_ts", col(tsCol)),
         extraCols = Seq("_event_ts"))
       .withWatermark("_event_ts", watermark)
       .groupBy(window(col("_event_ts"), windowLen), col("constraint_id"))
@@ -112,15 +112,17 @@ object StreamingValidator {
     * rows emitted as the watermark closes each window (append mode —
     * state is bounded by live windows x distinct values). NULL values
     * take the `<null>` label [[graft.transcript.Drift.collect]] uses, so
-    * streaming and batch histograms bin identically; NULL event times
-    * coalesce into the epoch-0 sentinel window like
-    * [[windowedViolationCounts]]. */
+    * streaming and batch histograms bin identical VALUES. NULL event
+    * times are excluded by definition (see [[windowedViolationCounts]]) —
+    * a batch histogram over data containing null-ts rows includes them,
+    * this per-window one cannot; monitor null-ts prevalence via the
+    * NullTs constraint on the unwindowed violation stream. */
   def windowedValueCounts(stream: DataFrame, tsCol: String, valueCol: org.apache.spark.sql.Column,
                           watermark: String = "10 minutes",
                           windowLen: String = "5 minutes"): DataFrame =
     stream
-      .withColumn("_event_ts",
-        coalesce(col(tsCol), lit("1970-01-01 00:00:00").cast("timestamp")))
+      .filter(col(tsCol).isNotNull)
+      .withColumn("_event_ts", col(tsCol))
       .withColumn("_value", coalesce(valueCol.cast("string"), lit("<null>")))
       .withWatermark("_event_ts", watermark)
       .groupBy(window(col("_event_ts"), windowLen), col("_value"))
@@ -149,18 +151,27 @@ object StreamingValidator {
     * north rule's drift leg: as each event-time window closes, its
     * categorical histogram is PSI/KS-compared against the baseline
     * snapshot and the verdict is delivered to `onVerdict` (alerting
-    * callback, verdict-table writer, ...). */
+    * callback, verdict-table writer, ...).
+    *
+    * @param checkpointLocation REQUIRED for restartable deployments: the
+    *   watermarked aggregation is stateful, and without a durable
+    *   checkpoint a restarted monitor re-reads the source from scratch —
+    *   duplicate alerts for already-closed windows or missed in-flight
+    *   ones. None (tests, ad-hoc backfills) uses a temp checkpoint that
+    *   dies with the JVM. */
   def startWindowedDriftMonitor(stream: DataFrame, tsCol: String,
       valueCol: org.apache.spark.sql.Column, name: String,
       baseline: graft.transcript.Drift.Histogram,
       onVerdict: (java.sql.Timestamp, graft.transcript.Drift.DriftVerdict) => Unit,
       watermark: String = "10 minutes", windowLen: String = "5 minutes",
-      psiThreshold: Double = 0.25): StreamingQuery =
-    windowedValueCounts(stream, tsCol, valueCol, watermark, windowLen)
+      psiThreshold: Double = 0.25,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = windowedValueCounts(stream, tsCol, valueCol, watermark, windowLen)
       .writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         driftVerdicts(batch.toDF(), name, baseline, psiThreshold)
           .foreach { case (w, v) => onVerdict(w, v) }
       }
-      .start()
+    checkpointLocation.fold(writer)(p => writer.option("checkpointLocation", p)).start()
+  }
 }
