@@ -137,4 +137,17 @@ class NativeExprSpec extends SparkSuite {
     val sig = df.select(Similarity.hyperplaneSignature(col("v"), 16)).collect()(0).getLong(0)
     assert(sig === HyperplaneSignatures.signatures(Array(1.0, -2.0, 0.5), 16, 1)(0))
   }
+
+  test("wrong-typed children fail at analysis with a readable message, not mid-job") {
+    val df = Seq((1L, Array(1.0f, 2.0f), "txt")).toDF("id", "vec", "text")
+    val eStr = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(graft.functions.ShingleMinHash.shingle_minhash(col("id"), 3, 16)).collect())
+    assert(eStr.getMessage.contains("requires a string column"), eStr.getMessage)
+    val eVec = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(HyperplaneSignatures.hyperplane_signatures(col("text"), 4, 1)).collect())
+    assert(eVec.getMessage.contains("array<float|double>"), eVec.getMessage)
+    // valid inputs still analyze: string natives on strings, vector on vecs,
+    // and a bare null literal stays a legal (NULL-returning) child
+    assert(df.select(graft.functions.SimHash64.simhash64(lit(null).cast("string"))).collect()(0).isNullAt(0))
+  }
 }
