@@ -17,20 +17,27 @@ object Digests {
     * rewrites that keep BOTH edge blocks identical are adversarial, not
     * operational. Used by the digest snapshot mode to catch same-mtime
     * rewrites (coarse filesystems, object-store copies that preserve
-    * timestamps) that an mtime-based snapshot id misses. */
-  def fileContentDigest(f: java.io.File, blockSize: Int = 65536): String =
+    * timestamps) that an mtime-based snapshot id misses.
+    *
+    * Reads through the Hadoop FileSystem API so the same code digests
+    * `file:`, `hdfs://`, and `s3a://` tables. Two seeked 64-KiB reads map
+    * to two ranged GETs on an object store — still O(1) per file. The
+    * length comes from the already-fetched FileStatus, not a second
+    * metadata round-trip. */
+  def fileContentDigest(fs: org.apache.hadoop.fs.FileSystem,
+                        status: org.apache.hadoop.fs.FileStatus,
+                        blockSize: Int = 65536): String =
     try {
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      val len = f.length()
-      val in = new java.io.RandomAccessFile(f, "r")
+      val len = status.getLen
+      val in = fs.open(status.getPath)
       try {
         val head = new Array[Byte](math.min(blockSize.toLong, len).toInt)
-        in.readFully(head)
+        in.readFully(0L, head)
         md.update(head)
         if (len > blockSize) {
           val tail = new Array[Byte](math.min(blockSize.toLong, len - blockSize).toInt)
-          in.seek(len - tail.length)
-          in.readFully(tail)
+          in.readFully(len - tail.length, tail)
           md.update(tail)
         }
       } finally in.close()

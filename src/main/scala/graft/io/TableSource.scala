@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,15 +32,34 @@ trait TableSource {
   * partitioning. Partition pruning comes free from the directory layout:
   * `readPartition` opens only that subdirectory.
   *
+  * All listing and digesting goes through the Hadoop `FileSystem` API
+  * resolved from the path's scheme, so the same code serves `file:`,
+  * `hdfs://`, and `s3a://` roots — where a 100-TB table actually lives.
+  * A missing or partition-less root RAISES from `partitionIds()` rather
+  * than silently validating nothing (a typo'd `--table` must not print a
+  * zero-row success).
+  *
   * @param contentDigest snapshot-id mode. `false` (default): listing +
-  *   size + mtime — zero IO, but a rewrite that preserves length AND mtime
-  *   (coarse-granularity filesystems, object-store copies with preserved
-  *   timestamps) keeps the id, so the resumable runner would falsely skip
-  *   the partition. `true`: additionally digests each file's first/last
-  *   64 KiB (Digests.fileContentDigest) — O(128 KiB) IO per file, catches
-  *   same-mtime rewrites. */
+  *   size + mtime — zero data IO, but a rewrite that preserves length AND
+  *   mtime (coarse-granularity filesystems, object-store copies with
+  *   preserved timestamps) keeps the id, so the resumable runner would
+  *   falsely skip the partition. `true`: additionally digests each file's
+  *   first/last 64 KiB (Digests.fileContentDigest) — O(128 KiB) IO per
+  *   file, catches same-mtime rewrites. */
 class ParquetPartitionedSource(spark: SparkSession, root: String,
                                contentDigest: Boolean = false) extends TableSource {
+
+  private val rootPath = new Path(root)
+  // FileSystem.get-style caching is handled by Hadoop itself (FS cache is
+  // keyed on scheme+authority+conf), so resolving per call is cheap.
+  private def fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** List a directory's immediate children; `Nil` if the path does not
+    * exist. Other IO errors (permission, transient object-store faults)
+    * propagate — "unreadable" must not alias "empty". */
+  private def listOrEmpty(p: Path): Seq[FileStatus] =
+    try fs.listStatus(p).toSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
 
   /** Snapshot id = stable digest of the partition directory listing +
     * file sizes + modification times (+ edge-block content digests in
@@ -49,52 +69,61 @@ class ParquetPartitionedSource(spark: SparkSession, root: String,
     * "already validated" is strictly worse than the false re-validation an
     * mtime-only touch causes. (A real Iceberg catalog supplies real
     * snapshot ids; this is the stand-in.) */
-  private def fingerprintFiles(files: Seq[java.io.File]): String =
+  private def fingerprintFiles(files: Seq[FileStatus]): String =
     graft.io.Digests.sha8(files
-      .filter(_.getName.endsWith(".parquet"))
-      .map { f =>
-        val content = if (contentDigest) ":" + graft.io.Digests.fileContentDigest(f) else ""
-        s"${f.getParentFile.getName}/${f.getName}:${f.length()}:${f.lastModified()}$content"
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val content =
+          if (contentDigest) ":" + graft.io.Digests.fileContentDigest(fs, st) else ""
+        s"${st.getPath.getParent.getName}/${st.getPath.getName}:${st.getLen}:${st.getModificationTime}$content"
       }
       .sorted.mkString("\n"))
 
   override def snapshotId: String = {
-    val dir = new java.io.File(root)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq else Seq(f)
-      }
-    fingerprintFiles(files.toSeq)
+    require(fs.exists(rootPath),
+      s"table root does not exist: $root — check the --table path")
+    val files = listOrEmpty(rootPath).flatMap { st =>
+      if (st.isDirectory) listOrEmpty(st.getPath) else Seq(st)
+    }
+    fingerprintFiles(files)
   }
 
   /** Partition-grain lineage: only this partition's files participate, so
-    * appends/rewrites elsewhere don't invalidate it. */
-  override def partitionSnapshotId(p: Int): String = {
-    val dir = new java.io.File(s"$root/partition_id=$p")
-    fingerprintFiles(Option(dir.listFiles()).getOrElse(Array.empty).toSeq)
-  }
+    * appends/rewrites elsewhere don't invalidate it. A partition directory
+    * deleted between listing and fingerprinting (TOCTOU under concurrent
+    * maintenance) degrades to the empty-listing digest — it will compare
+    * unequal to any recorded id with data, forcing re-validation, which is
+    * the safe direction. */
+  override def partitionSnapshotId(p: Int): String =
+    fingerprintFiles(listOrEmpty(new Path(rootPath, s"partition_id=$p")))
 
   override def partitionIds(): Seq[Int] = {
-    val dir = new java.io.File(root)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("partition_id="))
-      .map { f =>
+    require(fs.exists(rootPath),
+      s"table root does not exist: $root — check the --table path")
+    val ids = listOrEmpty(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("partition_id="))
+      .map { st =>
         // fail with an ACTIONABLE message, not a NumberFormatException: a
         // null partition_id write lands in __HIVE_DEFAULT_PARTITION__, and
         // silently skipping it would leave rows unvalidated
-        f.getName.stripPrefix("partition_id=").toIntOption.getOrElse(
+        val name = st.getPath.getName
+        name.stripPrefix("partition_id=").toIntOption.getOrElse(
           throw new IllegalArgumentException(
-            s"non-numeric partition directory '${f.getName}' under $root " +
+            s"non-numeric partition directory '$name' under $root " +
               "(null partition_id rows land in __HIVE_DEFAULT_PARTITION__) — " +
               "clean or re-partition the table before validating"))
       }
-      .sorted.toSeq
+      .sorted
+    require(ids.nonEmpty,
+      s"no partition_id=N directories under $root — the resumable runner " +
+        "would silently validate nothing; check the --table path or write " +
+        "the table via ParquetPartitionedSource.write")
+    ids
   }
 
   override def readPartition(p: Int): DataFrame = {
-    val dir = new java.io.File(s"$root/partition_id=$p")
-    val hasData = Option(dir.listFiles()).getOrElse(Array.empty)
-      .exists(_.getName.endsWith(".parquet"))
+    val dir = new Path(rootPath, s"partition_id=$p")
+    val hasData = listOrEmpty(dir).exists(_.getPath.getName.endsWith(".parquet"))
     if (hasData)
       spark.read.parquet(dir.toString).withColumn("partition_id", lit(p))
     else

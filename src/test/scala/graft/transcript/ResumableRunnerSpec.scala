@@ -141,6 +141,49 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(e.getMessage.contains("__HIVE_DEFAULT_PARTITION__"))
   }
 
+  test("explicit file: URI roots work through the Hadoop FileSystem codepath") {
+    // the lineage layer lists/digests via org.apache.hadoop.fs.FileSystem
+    // (so hdfs:// and s3a:// roots work on a real cluster); a scheme-ful
+    // file: URI exercises exactly that path resolution
+    val localRoot = tmpDir("fsuri")
+    val data = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 30, seed = 11, numPartitions = 2))
+    ParquetPartitionedSource.write(data, localRoot)
+    val uriRoot = new java.io.File(localRoot).toURI.toString.stripSuffix("/")
+    assert(uriRoot.startsWith("file:"))
+    val source = new ParquetPartitionedSource(spark, uriRoot, contentDigest = true)
+    assert(source.partitionIds() == Seq(0, 1))
+    // snapshot ids agree with the plain-path source — the fingerprint is
+    // over (dir/name, size, mtime, digest), independent of URI spelling
+    val plain = new ParquetPartitionedSource(spark, localRoot, contentDigest = true)
+    assert(source.snapshotId == plain.snapshotId)
+    assert(source.partitionSnapshotId(0) == plain.partitionSnapshotId(0))
+    assert(source.readPartition(1).count() ==
+      data.where(org.apache.spark.sql.functions.col("partition_id") === 1).count())
+    // end-to-end: the resumable runner itself over the URI root
+    val manifest = new CheckpointManifest(s"${tmpDir("fsm")}/manifest.json")
+    val run = new ResumableRunner(source, manifest, new TranscriptValidator(), None).run()
+    assert(run.validated.map(_.partitionId).sorted == Seq(0, 1))
+    assert(run.totalRows == data.count())
+  }
+
+  test("missing or partition-less roots fail loud, not silently validate nothing") {
+    // regression (r3 verdict #1): a typo'd --table used to print
+    // `validated= skipped= rows=0 violations=0` and exit 0
+    val missing = new ParquetPartitionedSource(spark, s"${tmpDir("gone")}/nope")
+    val e1 = intercept[IllegalArgumentException](missing.partitionIds())
+    assert(e1.getMessage.contains("does not exist"))
+    intercept[IllegalArgumentException](missing.snapshotId)
+    // root exists but holds no partition_id=N directories (e.g. an
+    // unpartitioned parquet dir passed by mistake)
+    val flat = tmpDir("flat")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(flat, "part-0000.parquet"), "not-really-parquet")
+    val e2 = intercept[IllegalArgumentException](
+      new ParquetPartitionedSource(spark, flat).partitionIds())
+    assert(e2.getMessage.contains("no partition_id"))
+  }
+
   test("partition read prunes to one directory") {
     val root = tmpDir("prune")
     val data = TranscriptGen.transcripts(spark,
