@@ -67,9 +67,22 @@ object StreamingValidator {
     * collide with an "already seen" marker on first contact.
     * State is one Int per live conversation; `idleTimeoutMs > 0` retires
     * conversations idle longer than that (pass 0 for bounded backfills
-    * driven by `Trigger.AvailableNow`). */
+    * driven by `Trigger.AvailableNow`).
+    *
+    * Per-(conversation, micro-batch) memory is capped: at most
+    * `maxEventsPerBatch` events are buffered for the sorted dup check.
+    * One hot conversation in a `Trigger.AvailableNow` backfill batch used
+    * to materialize ALL its events on one task; now the overflow tail is
+    * streamed with O(1) memory — its running max still feeds the state
+    * (so cross-batch detection stays exact for later batches) but
+    * individual overflow events are not dup-checked. That unchecked tail
+    * is surfaced, not swallowed: one `batch_overflow` violation per
+    * (conversation, batch) whose `turn_idx` field carries the count of
+    * unchecked events. */
   def statefulSequenceCheck(turns: Dataset[TurnEvent],
-                            idleTimeoutMs: Long = 3600000L): Dataset[DupViolation] = {
+                            idleTimeoutMs: Long = 3600000L,
+                            maxEventsPerBatch: Int = 1 << 20): Dataset[DupViolation] = {
+    require(maxEventsPerBatch >= 1, s"maxEventsPerBatch must be >= 1, got $maxEventsPerBatch")
     import turns.sparkSession.implicits._
     val timeoutMode =
       if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
@@ -80,14 +93,30 @@ object StreamingValidator {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var maxSeen: Option[Int] = state.getOption
-            val out = events.toList.sortBy(_.turn_idx).flatMap { e =>
+            val buf = new scala.collection.mutable.ArrayBuffer[TurnEvent]()
+            while (events.hasNext && buf.size < maxEventsPerBatch) buf += events.next()
+            // overflow tail: stream it for the running max only (O(1) mem)
+            var overflowCount = 0L
+            var overflowMax = Int.MinValue
+            while (events.hasNext) {
+              overflowCount += 1
+              val t = events.next().turn_idx
+              if (t > overflowMax) overflowMax = t
+            }
+            val out = buf.sortBy(_.turn_idx).flatMap { e =>
               if (maxSeen.exists(e.turn_idx <= _))
                 Some(DupViolation(convId, e.turn_idx, "dup_or_regression"))
               else { maxSeen = Some(e.turn_idx); None }
             }
+            val overflow =
+              if (overflowCount > 0) {
+                maxSeen = Some(maxSeen.fold(overflowMax)(math.max(_, overflowMax)))
+                // Int cap is safe: a single group slice can't exceed 2^31 rows
+                Seq(DupViolation(convId, overflowCount.toInt, "batch_overflow"))
+              } else Nil
             maxSeen.foreach(state.update)
             if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
-            out.iterator
+            (out ++ overflow).iterator
           }
       }
   }
@@ -108,25 +137,46 @@ object StreamingValidator {
 
   // ---- streaming drift ------------------------------------------------------
 
+  /** Reserved bin label for values outside a declared category set. */
+  val OtherBin = "<other>"
+
   /** Windowed categorical counts for drift monitoring: (window, _value, n)
-    * rows emitted as the watermark closes each window (append mode —
-    * state is bounded by live windows x distinct values). NULL values
-    * take the `<null>` label [[graft.transcript.Drift.collect]] uses, so
-    * streaming and batch histograms bin identical VALUES. NULL event
-    * times are excluded by definition (see [[windowedViolationCounts]]) —
-    * a batch histogram over data containing null-ts rows includes them,
-    * this per-window one cannot; monitor null-ts prevalence via the
-    * NullTs constraint on the unwindowed violation stream. */
+    * rows emitted as the watermark closes each window (append mode).
+    * NULL values take the `<null>` label [[graft.transcript.Drift.collect]]
+    * uses, so streaming and batch histograms bin identical VALUES. NULL
+    * event times are excluded by definition (see
+    * [[windowedViolationCounts]]) — a batch histogram over data containing
+    * null-ts rows includes them, this per-window one cannot; monitor
+    * null-ts prevalence via the NullTs constraint on the unwindowed
+    * violation stream.
+    *
+    * '''State bounding''': the aggregation keeps state per live
+    * (window × bin). With `categories = Some(set)` values outside the set
+    * fold into the [[OtherBin]] bin, capping state at
+    * liveWindows × (|set| + 2) regardless of input cardinality — pointing
+    * the monitor at a high-cardinality column (the classic misuse:
+    * conv_id) then grows the `<other>` COUNT, not the state. `None` keeps
+    * raw values and is only safe for columns with a provably small
+    * domain; production monitors should pass the baseline's bin set
+    * ([[startWindowedDriftMonitor]] does exactly that by default). `<null>`
+    * stays its own bin either way — it is structural, and folding it into
+    * `<other>` would hide a null-rate drift inside novel-value drift. */
   def windowedValueCounts(stream: DataFrame, tsCol: String, valueCol: org.apache.spark.sql.Column,
                           watermark: String = "10 minutes",
-                          windowLen: String = "5 minutes"): DataFrame =
+                          windowLen: String = "5 minutes",
+                          categories: Option[Set[String]] = None): DataFrame = {
+    val raw = coalesce(valueCol.cast("string"), lit("<null>"))
+    val binned = categories.fold(raw) { set =>
+      when(raw === "<null>" || raw.isin(set.toSeq: _*), raw).otherwise(lit(OtherBin))
+    }
     stream
       .filter(col(tsCol).isNotNull)
       .withColumn("_event_ts", col(tsCol))
-      .withColumn("_value", coalesce(valueCol.cast("string"), lit("<null>")))
+      .withColumn("_value", binned)
       .withWatermark("_event_ts", watermark)
       .groupBy(window(col("_event_ts"), windowLen), col("_value"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** Per-closed-window drift verdicts against a baseline histogram; runs
     * inside `foreachBatch`, where `batch` holds the closed-window count
@@ -153,6 +203,14 @@ object StreamingValidator {
     * snapshot and the verdict is delivered to `onVerdict` (alerting
     * callback, verdict-table writer, ...).
     *
+    * State is bounded by construction: values are binned to the
+    * BASELINE's bin set (plus `<null>`/`<other>`) before aggregation —
+    * PSI/KS against the baseline can only ever distinguish those bins
+    * anyway, and novel values surface as `<other>` mass, which the PSI
+    * epsilon-floor turns into exactly the drift signal a new category
+    * should produce. Pass `categories` to widen/narrow the declared set
+    * explicitly.
+    *
     * @param checkpointLocation REQUIRED for restartable deployments: the
     *   watermarked aggregation is stateful, and without a durable
     *   checkpoint a restarted monitor re-reads the source from scratch —
@@ -165,8 +223,10 @@ object StreamingValidator {
       onVerdict: (java.sql.Timestamp, graft.transcript.Drift.DriftVerdict) => Unit,
       watermark: String = "10 minutes", windowLen: String = "5 minutes",
       psiThreshold: Double = 0.25,
-      checkpointLocation: Option[String] = None): StreamingQuery = {
-    val writer = windowedValueCounts(stream, tsCol, valueCol, watermark, windowLen)
+      checkpointLocation: Option[String] = None,
+      categories: Option[Set[String]] = None): StreamingQuery = {
+    val bins = categories.orElse(Some(baseline.keySet - OtherBin))
+    val writer = windowedValueCounts(stream, tsCol, valueCol, watermark, windowLen, bins)
       .writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         driftVerdicts(batch.toDF(), name, baseline, psiThreshold)

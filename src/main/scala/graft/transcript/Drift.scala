@@ -79,12 +79,21 @@ object Drift {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  /** Legacy-label compatibility: early builds' `collect` labeled the NULL
+    * bin "null"; it is now "<null>". A baseline snapshot written by such a
+    * build would otherwise PSI-compare as one vanished bin plus one novel
+    * bin — spurious drift with no warning. Normalize on load, MERGING
+    * (summing) with any genuine "<null>" bin; a data value that is the
+    * literal string "null" was already indistinguishable from SQL NULL
+    * under the old format, so the merge loses nothing that was ever
+    * recorded distinctly. */
   def snapshotFromJson(json: String): Map[String, Histogram] = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(json)
     root.properties().asScala.map { e =>
       e.getKey -> e.getValue.properties().asScala
-        .map(b => b.getKey -> b.getValue.asLong()).toMap
+        .map(b => (if (b.getKey == "null") "<null>" else b.getKey) -> b.getValue.asLong())
+        .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
     }.toMap
   }
 }

@@ -81,6 +81,70 @@ class StreamingValidatorSpec extends SparkSuite {
     assert(byWindow("00:01").psi > byWindow("00:00").psi)
   }
 
+  test("drift monitor state stays bounded under a high-cardinality value column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.transcript.Drift
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseline: Drift.Histogram = Map("user" -> 50L, "assistant" -> 50L)
+    val verdicts = scala.collection.mutable.ListBuffer.empty[(java.sql.Timestamp, Drift.DriftVerdict)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    // the classic misuse: pointing the monitor at conv_id-like values —
+    // 5000 distinct strings in one window must NOT create 5000 state rows
+    val q = StreamingValidator.startWindowedDriftMonitor(
+      input.toDF().toDF("v", "ts"), "ts", col("v"), "v", baseline,
+      (w, v) => verdicts.synchronized { verdicts += (w -> v); () },
+      watermark = "0 seconds", windowLen = "1 minute")
+    try {
+      def t(min: Int, s: Int) =
+        java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:$s%02d")
+      input.addData((1 to 5000).map(i => (s"conv-$i", t(0, i % 60))): _*)
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // bins + window-tracking rows, NOT 5000 distinct values
+      assert(stateRows <= 16, s"state must be bounded by the bin set, got $stateRows rows")
+      input.addData(("user", t(10, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byWindow = verdicts.synchronized(verdicts.toList)
+      .map { case (w, v) => w.toString.substring(11, 16) -> v }.toMap
+    // the all-novel window still PSI-compares: its mass landed in <other>
+    assert(byWindow.contains("00:00"), s"window must close, got ${byWindow.keySet}")
+    assert(byWindow("00:00").drifted,
+      s"100% <other> mass vs a user/assistant baseline must flag drift: ${byWindow("00:00")}")
+  }
+
+  test("stateful sequence check caps per-batch buffering; overflow is surfaced and max carries") {
+    import spark.implicits._
+    import StreamingValidator.TurnEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TurnEvent]
+    val q = StreamingValidator.statefulSequenceCheck(
+        input.toDS(), idleTimeoutMs = 0, maxEventsPerBatch = 100)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_cap")
+      .start()
+    try {
+      // one hot conversation: 1000 clean events in a single backfill batch
+      // (10x the cap) plus a clean small conversation as control
+      input.addData(((0 until 1000).map(TurnEvent("hot", _)) :+ TurnEvent("cold", 0)): _*)
+      q.processAllAvailable()
+      // next batch: a turn at/below hot's true max (999) must STILL be
+      // flagged — the overflow tail's running max fed the state
+      input.addData(TurnEvent("hot", 500), TurnEvent("cold", 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_cap").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got.contains(("hot", 900, "batch_overflow")),
+      s"900 unchecked events past the 100 cap must surface, got $got")
+    assert(got.contains(("hot", 500, "dup_or_regression")),
+      s"cross-batch regression below the overflow max must flag, got $got")
+    assert(!got.exists(_._1 == "cold"), s"clean conversation must stay clean: $got")
+    assert(got.size == 2, s"no spurious violations: $got")
+  }
+
   test("stateful sequence check: in-batch dups and cross-batch regressions, order-free") {
     import spark.implicits._
     import StreamingValidator.TurnEvent

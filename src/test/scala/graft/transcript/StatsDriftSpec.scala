@@ -75,6 +75,18 @@ class StatsDriftSpec extends SparkSuite {
     assert(Drift.snapshotFromJson(json) == snap)
   }
 
+  test("legacy 'null' bin label normalizes to '<null>' on snapshot load") {
+    // baselines written by pre-r3 builds used "null" for the NULL bin; a
+    // raw load would PSI-compare as one vanished + one novel bin
+    val legacy = """{"role": {"user": 10, "null": 3, "<null>": 2}}"""
+    val h = Drift.snapshotFromJson(legacy)("role")
+    assert(h == Map("user" -> 10L, "<null>" -> 5L),
+      "legacy label must normalize AND merge with an existing <null> bin")
+    // a current-format snapshot is untouched
+    assert(Drift.snapshotFromJson("""{"r": {"<null>": 4, "a": 1}}""")("r") ==
+      Map("<null>" -> 4L, "a" -> 1L))
+  }
+
   test("salted two-phase conv counts equal direct groupBy") {
     val data = TranscriptGen.transcripts(spark,
       TranscriptGen.GenConfig(numConvs = 200, seed = 5))
