@@ -211,14 +211,19 @@ object ScalingBench {
          |ceiling ${"%.3f".formatLocal(java.util.Locale.ROOT, effCal)})
          |""".stripMargin
     // the run-to-run variance section is maintained BY HAND across rounds
-    // (this bench knows only its own run) — carry it over verbatim instead
-    // of clobbering it with each rewrite
+    // (this bench knows only its own run) — carry over ONLY that section,
+    // bounded at the next "## " heading: substring-to-EOF would re-append
+    // any later-added trailing sections verbatim on every run, silently
+    // growing the report
     val variance = {
       val p = Paths.get(outMd)
       if (Files.exists(p)) {
         val prev = Files.readString(p)
         val i = prev.indexOf("## Run-to-run variance")
-        if (i >= 0) "\n" + prev.substring(i) else ""
+        if (i >= 0) {
+          val next = prev.indexOf("\n## ", i)
+          "\n" + (if (next >= 0) prev.substring(i, next + 1) else prev.substring(i))
+        } else ""
       } else ""
     }
     Files.createDirectories(Paths.get(outMd).toAbsolutePath.getParent)

@@ -144,8 +144,15 @@ object Main {
     val result = new Validator(schema,
       ValidatorConfig(
         strictReferenceParity = opts.contains("parity"),
-        maxGroupValues = opts.get("max-group-values").map(_.toInt)
-          .getOrElse(ValidatorConfig().maxGroupValues)))
+        maxGroupValues = opts.get("max-group-values").map { v =>
+          // usage error, not a raw NumberFormatException / a deferred
+          // job-time require deep inside BoundedDistinctSet
+          v.toIntOption.filter(_ >= 1).getOrElse {
+            System.err.println(
+              s"--max-group-values requires a positive integer, got '$v'")
+            usage(); sys.exit(2)
+          }
+        }.getOrElse(ValidatorConfig().maxGroupValues)))
       .validate(model, withIds)
     val violations = result.violations.cache()
     opts.get("violations").foreach(out =>

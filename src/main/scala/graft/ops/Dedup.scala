@@ -14,10 +14,21 @@ import org.apache.spark.sql.functions._
   * MEMORY_AND_DISK (evictable): it feeds the bucket leg and both sides of
   * the pair join-back, which shuffle on different keys, so without
   * materialization the native signature scan runs three times. Long-lived
-  * sessions running many one-shot pipelines can reclaim the storage with
-  * `spark.catalog.clearCache()`.
+  * sessions running many pipelines should use the `*Cached` variants and
+  * call [[CachedPipeline.cleanup]] once the result is materialized —
+  * otherwise each call pins its signature relation in executor storage
+  * until eviction (the DataFrame-returning forms exist for one-shot jobs
+  * and the driver's query contract, where the JVM exit reclaims it).
   */
 object Dedup {
+
+  /** A pipeline result plus the persisted intermediates backing it — the
+    * same contract as `ValidationResult.cleanup()`: call [[cleanup]] AFTER
+    * materializing `df` (write/collect); unpersisting first would re-run
+    * the signature scan once per downstream consumer. */
+  final case class CachedPipeline(df: DataFrame, cached: Seq[DataFrame]) {
+    def cleanup(): Unit = cached.foreach(_.unpersist())
+  }
 
   // ---- exact ---------------------------------------------------------------
 
@@ -124,7 +135,16 @@ object Dedup {
   def minHashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame =
+    minHashNearDuplicatesCached(df, idCol, textCol, shingleK, numHashes,
+      bands, threshold, maxBucketSize).df
+
+  /** [[minHashNearDuplicates]] plus the cleanup handle for the persisted
+    * signature relation (long-lived sessions). */
+  def minHashNearDuplicatesCached(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): CachedPipeline = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): a zero or ragged " +
         "rows-per-band silently degenerates the banding (empty-slice buckets)")
@@ -147,10 +167,12 @@ object Dedup {
     val pairs = boundedBucketPairs(buckets, Seq("band_id", "band_hash"), "doc_id", maxBucketSize)
     val a = sigs.select(col("doc_id").as("doc_a"), col("_sig").as("_sig_a"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("_sig").as("_sig_b"))
-    pairs.join(a, "doc_a").join(b, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        sigJaccard(col("_sig_a"), col("_sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    CachedPipeline(
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          sigJaccard(col("_sig_a"), col("_sig_b")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold),
+      Seq(sigs))
   }
 
   // ---- exact n-gram Jaccard ---------------------------------------------------
@@ -233,7 +255,13 @@ object Dedup {
     *   inputs (all short/empty docs have fp ≈ 0) pile into one chunk —
     *   without the cap the self-join is O(bucket²) at web scale. */
   def simHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+                            maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simHashNearDuplicatesCached(df, idCol, textCol, maxHamming, maxBucketSize).df
+
+  /** [[simHashNearDuplicates]] plus the cleanup handle for the persisted
+    * fingerprint relation (long-lived sessions). */
+  def simHashNearDuplicatesCached(df: DataFrame, idCol: String, textCol: String,
+                                  maxHamming: Int = 3, maxBucketSize: Int = 1000): CachedPipeline = {
     // token-free docs have a NULL fingerprint and are excluded (see the
     // matching guard in minHashNearDuplicates); persisted for the same
     // three-consumer reason as the minhash signature relation
@@ -248,10 +276,12 @@ object Dedup {
     val pairs = boundedBucketPairs(chunks, Seq("chunk_id", "chunk"), "doc_id", maxBucketSize)
     val a = fp.select(col("doc_id").as("doc_a"), col("_fp").as("_fpa"))
     val b = fp.select(col("doc_id").as("doc_b"), col("_fp").as("_fpb"))
-    pairs.join(a, "doc_a").join(b, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        hammingDistance(col("_fpa"), col("_fpb")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    CachedPipeline(
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          hammingDistance(col("_fpa"), col("_fpb")).as("hamming"))
+        .filter(col("hamming") <= maxHamming),
+      Seq(fp))
   }
 
   // ---- embedding near-dup ---------------------------------------------------
@@ -263,7 +293,14 @@ object Dedup {
     * (id_a, id_b, cosine). */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double = 0.95, planes: Int = 16,
-                              maxBucketSize: Int = 1000): DataFrame = {
+                              maxBucketSize: Int = 1000): DataFrame =
+    embeddingNearDuplicatesCached(df, idCol, vecCol, threshold, planes, maxBucketSize).df
+
+  /** [[embeddingNearDuplicates]] plus the cleanup handle for the persisted
+    * signature relation (long-lived sessions). */
+  def embeddingNearDuplicatesCached(df: DataFrame, idCol: String, vecCol: String,
+                                    threshold: Double = 0.95, planes: Int = 16,
+                                    maxBucketSize: Int = 1000): CachedPipeline = {
     val sig = Similarity.hyperplaneSignature(col(vecCol), planes)
     val withSig = df.select(col(idCol).as("doc_id"), col(vecCol).as("_v"), sig.as("_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -271,9 +308,11 @@ object Dedup {
       withSig.select(col("doc_id"), col("_b")), Seq("_b"), "doc_id", maxBucketSize)
     val a = withSig.select(col("doc_id").as("doc_a"), col("_v").as("_va"))
     val b = withSig.select(col("doc_id").as("doc_b"), col("_v").as("_vb"))
-    pairs.join(a, "doc_a").join(b, "doc_b")
-      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
-        Similarity.cosine(col("_va"), col("_vb")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    CachedPipeline(
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+          Similarity.cosine(col("_va"), col("_vb")).as("cosine"))
+        .filter(col("cosine") >= threshold),
+      Seq(withSig))
   }
 }

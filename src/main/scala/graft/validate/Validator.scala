@@ -545,6 +545,11 @@ object Validator {
     // executor-side _metadata.file_path rendering (file:///x vs file:/x)
     val files = base.inputFiles.map(f => new org.apache.hadoop.fs.Path(f).toString).sorted
     require(files.nonEmpty, s"no parquet files under $path")
+    // the ordinal occupies bits 40..62: at >= 2^23 files it would shift
+    // into the sign bit and ids silently collide or go negative
+    require(files.length < (1 << 23),
+      s"$path has ${files.length} files — positional row ids support at " +
+        "most 2^23-1 files; pass --row-key to anchor rows on a data column")
     import spark.implicits._
     val ordinals = files.zipWithIndex.map { case (f, i) => (f, i.toLong) }
       .toSeq.toDF("_g_file", "_g_ord")

@@ -42,6 +42,26 @@ class DedupSpec extends SparkSuite {
     assert(!nd.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("Cached variants release their persisted signature relations on cleanup") {
+    // regression (r3 advice): the near-dup pipelines persisted their
+    // signature relation and never unpersisted it, so each call in a
+    // long-lived session permanently accumulated cached relations
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val r = Dedup.minHashNearDuplicatesCached(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5)
+    val pairs = r.df.collect()
+    assert(pairs.nonEmpty)
+    assert(!cm.isEmpty, "pipeline must have persisted its signatures")
+    r.cleanup()
+    assert(cm.isEmpty, "cleanup must release every persisted relation")
+    // DataFrame-returning form still matches the Cached result
+    val plain = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 64, bands = 16, threshold = 0.5).collect()
+    assert(plain.map(_.toString).sorted.sameElements(pairs.map(_.toString).sorted))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("exact ngram jaccard matches hand-computed value") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 2, threshold = 0.1).collect()
