@@ -59,8 +59,12 @@ object Similarity {
     * hyperplane signatures in `tables` independent hash tables (the
     * standard recall lever), exact cosine re-rank within candidate
     * buckets; `probeBits=1` additionally probes all single-bit-flip
-    * neighbor buckets (multiprobe). All `tables x planes` projections come
-    * from ONE native expression pass per row
+    * neighbor buckets (multiprobe), `probeBits=2` also every 2-bit flip —
+    * the recall lever when bucket granularity rises at scale (probe cost
+    * per query per table: 1, 1+planes, 1+planes+C(planes,2) buckets;
+    * at planes=16 that is 1 / 17 / 137 — still far below scanning the
+    * corpus, and only the QUERY side fans out). All `tables x planes`
+    * projections come from ONE native expression pass per row
     * ([[graft.functions.HyperplaneSignatures]]).
     *
     * planes defaults to 16 (2^16 buckets per table): round 1 shipped 4 —
@@ -76,10 +80,10 @@ object Similarity {
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planes: Int = 16, tables: Int = 8, probeBits: Int = 1,
               maxBucketSize: Int = 10000): DataFrame = {
-    require(probeBits <= 1,
-      s"probeBits=$probeBits: multiprobe supports 0 (off) or 1 (single-bit " +
-        "flips); higher-order flips are unimplemented and would otherwise " +
-        "silently behave as 1")
+    require(probeBits >= 0 && probeBits <= 2,
+      s"probeBits=$probeBits: multiprobe supports 0 (off), 1 (single-bit " +
+        "flips), or 2 (+ all 2-bit flips); higher orders cost " +
+        "C(planes, j) probes per extra bit for vanishing recall gain")
     // (table_id, signature) packed into one long: table in high bits
     def buckets(vecCol: String): Column =
       transform(
@@ -95,12 +99,21 @@ object Similarity {
       .drop("_bn")
     val q0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"),
       buckets(queryVec).as("_qbs"))
-    // multiprobe: per table, original bucket + optional 1-bit flips
+    // multiprobe: per table, original bucket + all <=probeBits-bit flips.
+    // Flip masks only touch the low `planes` bits, never the table id in
+    // bits 56+. The mask list is built once at plan time (driver), so the
+    // per-row work is explode over a literal-XOR array — codegen-friendly.
+    val flipMasks: Seq[Long] =
+      (if (probeBits >= 1) (0 until planes).map(p => 1L << p) else Nil) ++
+      (if (probeBits >= 2)
+        for { p <- 0 until planes; q <- p + 1 until planes } yield (1L << p) | (1L << q)
+      else Nil)
     val probes =
-      if (probeBits <= 0) q0.select(col("query_id"), col("_qv"), explode(col("_qbs")).as("_bucket"))
+      if (flipMasks.isEmpty)
+        q0.select(col("query_id"), col("_qv"), explode(col("_qbs")).as("_bucket"))
       else q0.select(col("query_id"), col("_qv"),
         explode(flatten(transform(col("_qbs"), b =>
-          array(b +: (0 until planes).map(p => b.bitwiseXOR(lit(1L << p))): _*)))).as("_bucket"))
+          array(b +: flipMasks.map(m => b.bitwiseXOR(lit(m))): _*)))).as("_bucket"))
     val cands = probes.join(itemsB, "_bucket")
       .select(col("query_id"), col("item_id"),
         cosine(col("_iv"), col("_qv")).as("score"))

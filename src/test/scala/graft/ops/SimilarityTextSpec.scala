@@ -119,6 +119,29 @@ class SimilarityTextSpec extends SparkSuite {
     emb.unpersist()
   }
 
+  test("multiprobe probeBits is a working recall lever at production maxBucketSize") {
+    // tables=1 so multiprobe is the ONLY recall lever: a perturbed query
+    // whose signature drifted d bits from its item's is recalled iff
+    // d <= probeBits (modulo lucky bucket collisions). The probe set at
+    // probeBits=j is a strict superset of j-1, so recall must be
+    // monotone; the perturbation is tuned so some queries sit exactly 2
+    // bits out, making the 2-bit tier a strict improvement. Default
+    // maxBucketSize (the production cap) stays in force throughout.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x * lit(1.15f) + lit(0.03f)).as("qvec"))
+    def recall(probeBits: Int): Int =
+      Similarity.lshTopK(emb, "vec_id", "embedding", queries, "query_id", "qvec",
+          k = 1, planes = 16, tables = 1, probeBits = probeBits)
+        .collect().count(r => r.getAs[Long]("query_id") == r.getAs[Long]("item_id"))
+    val r0 = recall(0); val r1 = recall(1); val r2 = recall(2)
+    assert(r0 <= r1 && r1 <= r2, s"recall must be monotone in probeBits: $r0/$r1/$r2")
+    assert(r2 > r1, s"2-bit flips must recover queries 1-bit probing misses: $r0/$r1/$r2 of 40")
+    assert(intercept[IllegalArgumentException](recall(3)).getMessage.contains("probeBits"))
+    emb.unpersist()
+  }
+
   test("brute-force top-k works when items and queries share column names") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 2) // same schema, same names
