@@ -58,8 +58,27 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-query regression guard (r3 verdict item 4): budgets = 2x the
+    // exclusive-run median at sf0.1, checked in at BENCH/budgets.json.
+    // A regression surfaces as over_budget in the bench artifact instead
+    // of hiding inside the total's ambient variance. Advisory in
+    // contended/driver contexts (see the _note in budgets.json); in an
+    // exclusive run any entry here is a regression to attribute.
+    val overBudget: Seq[(String, Double, Double)] =
+      if (!sfDir.endsWith("sf0.1")) Nil // budgets are calibrated at sf0.1
+      else scala.util.Try {
+        val txt = Files.readString(Paths.get("BENCH/budgets.json"))
+        val budgets = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.flatMap { case (q, t) =>
+          budgets.get(q).filter(b => t > b).map(b => (q, t, b))
+        }
+      }.getOrElse(Nil)
+    val obJson = overBudget
+      .map { case (q, t, b) => s"${jstr(q)}:{\"sec\":$t,\"budget\":$b}" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"over_budget":$obJson,"n_over_budget":${overBudget.size},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), line + "\n"))
     println(line)
