@@ -44,8 +44,19 @@ object Bench {
         .select(xxhash64(col("text"))))
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    // optional subset (comma-separated names) for targeted scale probes —
+    // e.g. the sf10 growth check of the two worst sf1 growers — without
+    // paying for the whole suite at large SFs
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
+    }
     // deterministic (sorted) order so per-round per-query times compare
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) }
       catch { case e: Throwable =>
