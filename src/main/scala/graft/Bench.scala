@@ -75,21 +75,32 @@ object Bench {
     // of hiding inside the total's ambient variance. Advisory in
     // contended/driver contexts (see the _note in budgets.json); in an
     // exclusive run any entry here is a regression to attribute.
-    val overBudget: Seq[(String, Double, Double)] =
-      if (!sfDir.endsWith("sf0.1")) Nil // budgets are calibrated at sf0.1
+    // budget_checked distinguishes "guard evaluated, 0 breaches" from
+    // "guard did not run" (wrong SF, missing/unparseable budgets file, or
+    // a cwd without BENCH/) — a silently-disabled guard must not read as
+    // a clean pass.
+    val sfApplies = new java.io.File(sfDir).getName == "sf0.1"
+    val budgets: Map[String, Double] =
+      if (!sfApplies) Map.empty // calibrated at sf0.1 only
       else scala.util.Try {
         val txt = Files.readString(Paths.get("BENCH/budgets.json"))
-        val budgets = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        results.flatMap { case (q, t) =>
-          budgets.get(q).filter(b => t > b).map(b => (q, t, b))
-        }
-      }.getOrElse(Nil)
+      }.getOrElse(Map.empty)
+    val budgetChecked = sfApplies && budgets.nonEmpty
+    val overBudget: Seq[(String, Double, Double)] =
+      results.flatMap { case (q, t) =>
+        budgets.get(q).filter(b => t > b).map(b => (q, t, b))
+      }
     val obJson = overBudget
       .map { case (q, t, b) => s"${jstr(q)}:{\"sec\":$t,\"budget\":$b}" }
       .mkString("{", ",", "}")
+    // a filtered run's "total" covers only the subset — mark it so
+    // cross-round total comparisons can't silently mix suite sizes
+    val onlyJson = only.fold("")(o =>
+      s""","only":${o.toSeq.sorted.map(jstr).mkString("[", ",", "]")}""")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"over_budget":$obJson,"n_over_budget":${overBudget.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"over_budget":$obJson,"n_over_budget":${overBudget.size},"budget_checked":$budgetChecked$onlyJson,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), line + "\n"))
     println(line)

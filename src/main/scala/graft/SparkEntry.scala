@@ -355,7 +355,14 @@ object SparkEntry {
     // pair would require its band hash to collide with the boilerplate
     // signature's in every one of the 16 bands. If the cap logic breaks
     // (no-op or wrong comparison), ~1500^2/2 clone pairs at est_jaccard
-    // 1.0 flood the result and the row goes red. ==
+    // 1.0 flood the result and the row goes red.
+    // PRECONDITION (corpus fact, verified at sf0.001/0.01/0.1 and the
+    // ScaleUp corpora whose replicas carry distinct suffix tokens): no
+    // NATURAL text occurs ~1000+ times, so no natural band bucket can
+    // cross the default cap and drop an injected pair — the boilerplate
+    // clones are the ONLY hot mass. A corpus that violated this would
+    // already break q_dedup_exact's oracle (duplicate texts change its
+    // expected groups), so the assumption is cross-checked, not silent. ==
     "q_dedup_hotbucket" -> ((s, dir) => {
       val boiler = "terms of service all rights reserved contact us privacy policy cookie settings"
       val clones = s.range(1500).select(

@@ -33,6 +33,10 @@ object Main {
       System.err.println(s"unknown mode $mode"); usage(); sys.exit(2)
     }
     val opts = parseOpts(args.tail)
+    // value-shape validation also belongs BEFORE Spark startup (and before
+    // the full-table row-key scan): a typo'd numeric option must cost a
+    // usage line, not a cluster spin-up plus a 10^12-row pass
+    parseMaxGroupValues(opts)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -144,15 +148,8 @@ object Main {
     val result = new Validator(schema,
       ValidatorConfig(
         strictReferenceParity = opts.contains("parity"),
-        maxGroupValues = opts.get("max-group-values").map { v =>
-          // usage error, not a raw NumberFormatException / a deferred
-          // job-time require deep inside BoundedDistinctSet
-          v.toIntOption.filter(_ >= 1).getOrElse {
-            System.err.println(
-              s"--max-group-values requires a positive integer, got '$v'")
-            usage(); sys.exit(2)
-          }
-        }.getOrElse(ValidatorConfig().maxGroupValues)))
+        maxGroupValues = parseMaxGroupValues(opts)
+          .getOrElse(ValidatorConfig().maxGroupValues)))
       .validate(model, withIds)
     val violations = result.violations.cache()
     opts.get("violations").foreach(out =>
@@ -279,6 +276,17 @@ object Main {
 
   /** Options that are bare flags; every other option REQUIRES a value. */
   private val boolFlags = Set("parity", "skip-row-key-check", "content-digest")
+
+  /** usage error, not a raw NumberFormatException / a deferred job-time
+    * require deep inside BoundedDistinctSet; called from main() so the
+    * failure lands before SparkSession startup. */
+  private def parseMaxGroupValues(opts: Map[String, String]): Option[Int] =
+    opts.get("max-group-values").map { v =>
+      v.toIntOption.filter(_ >= 1).getOrElse {
+        System.err.println(s"--max-group-values requires a positive integer, got '$v'")
+        usage(); sys.exit(2)
+      }
+    }
 
   private def parseOpts(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map[String, String]()

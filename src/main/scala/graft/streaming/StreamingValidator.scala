@@ -70,15 +70,22 @@ object StreamingValidator {
     * driven by `Trigger.AvailableNow`).
     *
     * Per-(conversation, micro-batch) memory is capped: at most
-    * `maxEventsPerBatch` events are buffered for the sorted dup check.
-    * One hot conversation in a `Trigger.AvailableNow` backfill batch used
-    * to materialize ALL its events on one task; now the overflow tail is
-    * streamed with O(1) memory — its running max still feeds the state
-    * (so cross-batch detection stays exact for later batches) but
-    * individual overflow events are not dup-checked. That unchecked tail
+    * `maxEventsPerBatch` events are buffered for the sorted dup check —
+    * the `maxEventsPerBatch` SMALLEST turn indices, kept in a bounded
+    * max-heap, so the buffered subset is a function of the batch's event
+    * MULTISET, not of shuffle-arrival order (a first-N-arrival buffer
+    * would emit different violations on a checkpoint-recovery replay of
+    * the same batch — the nondeterminism the per-batch sort exists to
+    * eliminate; heap ties are interchangeable because equal TurnEvents
+    * are identical). One hot conversation in a `Trigger.AvailableNow`
+    * backfill batch used to materialize ALL its events on one task; now
+    * the evicted tail costs O(1) memory — its running max still feeds the
+    * state (so cross-batch detection stays exact for later batches) but
+    * evicted events are not individually dup-checked. That unchecked tail
     * is surfaced, not swallowed: one `batch_overflow` violation per
     * (conversation, batch) whose `turn_idx` field carries the count of
-    * unchecked events. */
+    * unchecked events (consumers must discriminate on `kind` — an
+    * overflow row is a capacity verdict, not a turn reference). */
   def statefulSequenceCheck(turns: Dataset[TurnEvent],
                             idleTimeoutMs: Long = 3600000L,
                             maxEventsPerBatch: Int = 1 << 20): Dataset[DupViolation] = {
@@ -93,20 +100,24 @@ object StreamingValidator {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var maxSeen: Option[Int] = state.getOption
-            val buf = new scala.collection.mutable.ArrayBuffer[TurnEvent]()
-            while (events.hasNext && buf.size < maxEventsPerBatch) buf += events.next()
-            // overflow tail: stream it for the running max only (O(1) mem)
+            // bounded max-heap of the smallest turn indices: deterministic
+            // in the batch's event multiset, O(cap) memory, O(n log cap)
+            val heap = scala.collection.mutable.PriorityQueue.empty[Int]
             var overflowCount = 0L
             var overflowMax = Int.MinValue
             while (events.hasNext) {
-              overflowCount += 1
               val t = events.next().turn_idx
-              if (t > overflowMax) overflowMax = t
+              if (heap.size < maxEventsPerBatch) heap.enqueue(t)
+              else {
+                val evicted = if (t < heap.head) { val h = heap.dequeue(); heap.enqueue(t); h } else t
+                overflowCount += 1
+                if (evicted > overflowMax) overflowMax = evicted
+              }
             }
-            val out = buf.sortBy(_.turn_idx).flatMap { e =>
-              if (maxSeen.exists(e.turn_idx <= _))
-                Some(DupViolation(convId, e.turn_idx, "dup_or_regression"))
-              else { maxSeen = Some(e.turn_idx); None }
+            val out = heap.dequeueAll.toSeq.reverse.flatMap { (t: Int) =>
+              if (maxSeen.exists(t <= _))
+                Some(DupViolation(convId, t, "dup_or_regression"))
+              else { maxSeen = Some(t); None }
             }
             val overflow =
               if (overflowCount > 0) {
@@ -165,9 +176,10 @@ object StreamingValidator {
                           watermark: String = "10 minutes",
                           windowLen: String = "5 minutes",
                           categories: Option[Set[String]] = None): DataFrame = {
-    val raw = coalesce(valueCol.cast("string"), lit("<null>"))
+    val nullBin = graft.transcript.Drift.NullBin // shared: PSI bins must align with the batch leg
+    val raw = coalesce(valueCol.cast("string"), lit(nullBin))
     val binned = categories.fold(raw) { set =>
-      when(raw === "<null>" || raw.isin(set.toSeq: _*), raw).otherwise(lit(OtherBin))
+      when(raw === nullBin || raw.isin(set.toSeq: _*), raw).otherwise(lit(OtherBin))
     }
     stream
       .filter(col(tsCol).isNotNull)

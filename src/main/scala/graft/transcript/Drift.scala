@@ -12,14 +12,20 @@ object Drift {
 
   type Histogram = Map[String, Long]
 
+  /** Reserved bin label for SQL NULL values — shared by the batch
+    * histograms here and the streaming monitor's binning
+    * ([[graft.streaming.StreamingValidator.windowedValueCounts]]): the
+    * PSI/KS comparison between the two legs depends on identical labels. */
+  val NullBin = "<null>"
+
   /** Collect a (bin, n) DataFrame to a driver-side histogram. NULL bins
-    * get the reserved "<null>" label; colliding labels (a genuine
+    * get the reserved [[NullBin]] label; colliding labels (a genuine
     * "<null>" string bin) MERGE by summing — a plain toMap would keep
     * only the last entry and silently shrink the distribution, corrupting
     * PSI/KS against it. */
   def collect(df: DataFrame): Histogram =
     df.collect().toSeq
-      .map(r => Option(r.get(0)).map(_.toString).getOrElse("<null>") -> r.getLong(1))
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse(NullBin) -> r.getLong(1))
       .groupMapReduce(_._1)(_._2)(_ + _)
 
   /** Population Stability Index: sum over bins of (p-q)·ln(p/q), with the
@@ -68,10 +74,19 @@ object Drift {
   import com.fasterxml.jackson.databind.ObjectMapper
   import scala.jdk.CollectionConverters._
 
-  /** Serialize named histograms to the checked-in baseline snapshot format. */
+  /** Format marker written by current builds. Its absence identifies a
+    * legacy snapshot whose NULL bin carries the old "null" label. */
+  private val FormatKey = "_format"
+  private val FormatVersion = 2
+
+  /** Serialize named histograms to the checked-in baseline snapshot
+    * format. The `_format` marker lets the loader distinguish a genuine
+    * "null" STRING bin (kept verbatim in v2 snapshots) from a legacy
+    * NULL bin (normalized on load). */
   def snapshotToJson(snapshots: Map[String, Histogram]): String = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
+    root.put(FormatKey, FormatVersion)
     for ((name, h) <- snapshots.toSeq.sortBy(_._1)) {
       val node = root.putObject(name)
       for ((k, v) <- h.toSeq.sortBy(_._1)) node.put(k, v)
@@ -79,21 +94,29 @@ object Drift {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  /** Legacy-label compatibility: early builds' `collect` labeled the NULL
-    * bin "null"; it is now "<null>". A baseline snapshot written by such a
-    * build would otherwise PSI-compare as one vanished bin plus one novel
-    * bin — spurious drift with no warning. Normalize on load, MERGING
-    * (summing) with any genuine "<null>" bin; a data value that is the
-    * literal string "null" was already indistinguishable from SQL NULL
-    * under the old format, so the merge loses nothing that was ever
-    * recorded distinctly. */
+  /** Legacy-label compatibility: pre-`_format` builds' `collect` labeled
+    * the NULL bin "null"; it is now [[NullBin]]. A legacy baseline would
+    * otherwise PSI-compare as one vanished bin plus one novel bin —
+    * spurious drift with no warning — so snapshots WITHOUT the format
+    * marker normalize "null" to [[NullBin]] on load, MERGING (summing)
+    * with any existing "<null>" bin (under the old format a literal
+    * "null" string value was already indistinguishable from SQL NULL, so
+    * the merge loses nothing that was ever recorded distinctly).
+    * Marked v2+ snapshots load verbatim: a genuine "null" STRING bin in
+    * current data stays a distinct bin and round-trips exactly. */
   def snapshotFromJson(json: String): Map[String, Histogram] = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(json)
-    root.properties().asScala.map { e =>
-      e.getKey -> e.getValue.properties().asScala
-        .map(b => (if (b.getKey == "null") "<null>" else b.getKey) -> b.getValue.asLong())
-        .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
-    }.toMap
+    val legacy = !root.has(FormatKey)
+    root.properties().asScala
+      .filter(e => !e.getKey.startsWith("_"))
+      .map { e =>
+        e.getKey -> e.getValue.properties().asScala
+          .map { b =>
+            val label = if (legacy && b.getKey == "null") NullBin else b.getKey
+            label -> b.getValue.asLong()
+          }
+          .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+      }.toMap
   }
 }

@@ -76,15 +76,23 @@ class StatsDriftSpec extends SparkSuite {
   }
 
   test("legacy 'null' bin label normalizes to '<null>' on snapshot load") {
-    // baselines written by pre-r3 builds used "null" for the NULL bin; a
-    // raw load would PSI-compare as one vanished + one novel bin
+    // baselines written by pre-_format builds used "null" for the NULL
+    // bin; a raw load would PSI-compare as one vanished + one novel bin.
+    // Only UNMARKED (legacy) snapshots normalize — a marked snapshot's
+    // genuine "null" STRING bin must stay distinct (review finding: the
+    // unconditional rename broke snapshotToJson/FromJson round-tripping
+    // for data that legitimately contains the string "null")
     val legacy = """{"role": {"user": 10, "null": 3, "<null>": 2}}"""
     val h = Drift.snapshotFromJson(legacy)("role")
     assert(h == Map("user" -> 10L, "<null>" -> 5L),
       "legacy label must normalize AND merge with an existing <null> bin")
-    // a current-format snapshot is untouched
+    // unmarked without the legacy label: untouched
     assert(Drift.snapshotFromJson("""{"r": {"<null>": 4, "a": 1}}""")("r") ==
       Map("<null>" -> 4L, "a" -> 1L))
+    // v2 round-trip with a genuine "null" STRING bin: preserved verbatim
+    val v2 = Map("col" -> Map("null" -> 3L, "<null>" -> 2L, "a" -> 1L))
+    assert(Drift.snapshotFromJson(Drift.snapshotToJson(v2)) == v2,
+      "marked snapshots must round-trip a genuine 'null' string bin")
   }
 
   test("salted two-phase conv counts equal direct groupBy") {
