@@ -50,6 +50,9 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { o =>
+      // an empty value (e.g. SPARK_GRAFT_ONLY=$UNSET_VAR) would filter out
+      // EVERY query and write a total=0 artifact that reads as a clean run
+      require(o.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
       val unknown = o -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
     }
@@ -87,7 +90,9 @@ object Bench {
         """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
-    val budgetChecked = sfApplies && budgets.nonEmpty
+    // a subset run never evaluated the other queries' budgets — it must
+    // not read as a full-suite budget pass
+    val budgetChecked = sfApplies && budgets.nonEmpty && only.isEmpty
     val overBudget: Seq[(String, Double, Double)] =
       results.flatMap { case (q, t) =>
         budgets.get(q).filter(b => t > b).map(b => (q, t, b))

@@ -36,7 +36,7 @@ object Main {
     // value-shape validation also belongs BEFORE Spark startup (and before
     // the full-table row-key scan): a typo'd numeric option must cost a
     // usage line, not a cluster spin-up plus a 10^12-row pass
-    parseMaxGroupValues(opts)
+    val maxGroupValues = parseMaxGroupValues(opts)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -48,7 +48,8 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val hadViolations =
       try {
-        if (mode == "kye") runKye(spark, opts) else runTranscripts(spark, opts)
+        if (mode == "kye") runKye(spark, opts, maxGroupValues)
+        else runTranscripts(spark, opts)
       } catch {
         // error-exit paths must still stop the session (not lean on JVM
         // exit cleanup); re-throw after stopping
@@ -58,7 +59,8 @@ object Main {
     if (hadViolations) sys.exit(65)
   }
 
-  private def runKye(spark: SparkSession, opts: Map[String, String]): Boolean = {
+  private def runKye(spark: SparkSession, opts: Map[String, String],
+                     maxGroupValues: Option[Int]): Boolean = {
     val schemaPath = opts("schema")
     val text = Files.readString(Paths.get(schemaPath))
     // E1 path: `.kye` source compiles through the DSL front-end; E2 path:
@@ -148,8 +150,7 @@ object Main {
     val result = new Validator(schema,
       ValidatorConfig(
         strictReferenceParity = opts.contains("parity"),
-        maxGroupValues = parseMaxGroupValues(opts)
-          .getOrElse(ValidatorConfig().maxGroupValues)))
+        maxGroupValues = maxGroupValues.getOrElse(ValidatorConfig().maxGroupValues)))
       .validate(model, withIds)
     val violations = result.violations.cache()
     opts.get("violations").foreach(out =>

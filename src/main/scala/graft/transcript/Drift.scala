@@ -84,6 +84,8 @@ object Drift {
     * "null" STRING bin (kept verbatim in v2 snapshots) from a legacy
     * NULL bin (normalized on load). */
   def snapshotToJson(snapshots: Map[String, Histogram]): String = {
+    require(!snapshots.contains(FormatKey),
+      s"'$FormatKey' is reserved for the snapshot format marker and cannot name a metric")
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put(FormatKey, FormatVersion)
@@ -108,8 +110,11 @@ object Drift {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(json)
     val legacy = !root.has(FormatKey)
+    // drop ONLY the marker itself: a metric legitimately named with a
+    // leading underscore must round-trip (reserved-name collisions are
+    // rejected at save time instead)
     root.properties().asScala
-      .filter(e => !e.getKey.startsWith("_"))
+      .filter(e => e.getKey != FormatKey)
       .map { e =>
         e.getKey -> e.getValue.properties().asScala
           .map { b =>
