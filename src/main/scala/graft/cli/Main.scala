@@ -36,7 +36,8 @@ object Main {
     // value-shape validation also belongs BEFORE Spark startup (and before
     // the full-table row-key scan): a typo'd numeric option must cost a
     // usage line, not a cluster spin-up plus a 10^12-row pass
-    val maxGroupValues = parseMaxGroupValues(opts)
+    val maxGroupValues = parsePositiveInt(opts, "max-group-values")
+    val maxConcurrent = parsePositiveInt(opts, "max-concurrent").getOrElse(1)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -49,7 +50,7 @@ object Main {
     val hadViolations =
       try {
         if (mode == "kye") runKye(spark, opts, maxGroupValues)
-        else runTranscripts(spark, opts)
+        else runTranscripts(spark, opts, maxConcurrent)
       } catch {
         // error-exit paths must still stop the session (not lean on JVM
         // exit cleanup); re-throw after stopping
@@ -198,7 +199,8 @@ object Main {
     totalViolations > 0
   }
 
-  private def runTranscripts(spark: SparkSession, opts: Map[String, String]): Boolean = {
+  private def runTranscripts(spark: SparkSession, opts: Map[String, String],
+                             maxConcurrent: Int): Boolean = {
     // --content-digest: snapshot ids additionally hash each file's edge
     // blocks, so a same-length same-mtime rewrite (object-store copy with
     // preserved timestamps) still invalidates the partition's checkpoint
@@ -213,7 +215,11 @@ object Main {
         val sink = opts.get("violations").map { out => (p: Int, r: TranscriptReport) =>
           r.violations.write.mode("overwrite").parquet(s"$out/partition_id=$p")
         }
-        val summary = new ResumableRunner(source, manifest, validator, convKeys, sink).run()
+        // --max-concurrent N: validate N partitions simultaneously (Spark
+        // accepts multi-threaded job submission; manifest commits stay
+        // atomic per partition); validated in main() before Spark startup
+        val summary = new ResumableRunner(source, manifest, validator, convKeys, sink,
+          maxConcurrent).run()
         println(s"validated=${summary.validated.map(_.partitionId).mkString(",")}" +
           s" skipped=${summary.skipped.mkString(",")} rows=${summary.totalRows}" +
           s" violations=${summary.totalViolations}")
@@ -279,12 +285,12 @@ object Main {
   private val boolFlags = Set("parity", "skip-row-key-check", "content-digest")
 
   /** usage error, not a raw NumberFormatException / a deferred job-time
-    * require deep inside BoundedDistinctSet; called from main() so the
-    * failure lands before SparkSession startup. */
-  private def parseMaxGroupValues(opts: Map[String, String]): Option[Int] =
-    opts.get("max-group-values").map { v =>
+    * require deep inside the engine; called from main() so the failure
+    * lands before SparkSession startup. */
+  private def parsePositiveInt(opts: Map[String, String], key: String): Option[Int] =
+    opts.get(key).map { v =>
       v.toIntOption.filter(_ >= 1).getOrElse {
-        System.err.println(s"--max-group-values requires a positive integer, got '$v'")
+        System.err.println(s"--$key requires a positive integer, got '$v'")
         usage(); sys.exit(2)
       }
     }
@@ -317,5 +323,5 @@ object Main {
       |                 [--max-group-values K] [--skip-row-key-check]
       |  graft.cli.Main transcripts --table dir [--conv-keys path] [--checkpoint m.json]
       |                 [--violations out] [--baseline h.json] [--write-baseline h.json]
-      |                 [--content-digest]""".stripMargin)
+      |                 [--content-digest] [--max-concurrent N]""".stripMargin)
 }

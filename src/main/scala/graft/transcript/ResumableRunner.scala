@@ -24,14 +24,29 @@ import graft.io.TableSource
   * @param sink optional callback receiving each validated partition's
   *   violations (e.g. parquet writer); runs before the manifest commit so a
   *   crash between the two re-validates (at-least-once, idempotent by
-  *   overwrite).
+  *   overwrite). Under `maxConcurrent > 1` the sink is invoked from
+  *   multiple threads (distinct partitions) — it must be thread-safe or
+  *   write to per-partition destinations (a hive-partitioned parquet
+  *   writer is).
+  * @param maxConcurrent partitions validated simultaneously. Spark accepts
+  *   job submission from multiple driver threads, so in-flight partitions
+  *   overlap their scan/shuffle stages — on a large cluster a single
+  *   sequential partition job leaves most executors idle between stages
+  *   (consider `spark.scheduler.mode=FAIR` so partitions share fairly).
+  *   Manifest commits stay per-partition and atomic (CheckpointManifest is
+  *   synchronized), so kill-and-resume semantics are unchanged; completed
+  *   partitions are skipped on restart regardless of completion order.
+  *   Per-partition `wallMs` includes cluster contention from its cohort.
   */
 class ResumableRunner(
     source: TableSource,
     manifest: CheckpointManifest,
     validator: TranscriptValidator,
     convKeys: Option[DataFrame] = None,
-    sink: Option[(Int, TranscriptReport) => Unit] = None) {
+    sink: Option[(Int, TranscriptReport) => Unit] = None,
+    maxConcurrent: Int = 1) {
+
+  require(maxConcurrent >= 1, s"maxConcurrent must be >= 1, got $maxConcurrent")
 
   final case class RunSummary(
       validated: Seq[PartitionEntry],
@@ -57,7 +72,7 @@ class ResumableRunner(
       manifest.isComplete(p, snap, cHash)
     }
     val skip = skipped.map(_._1)
-    val validated = todo.map { case (p, snap) =>
+    def validateOne(p: Int, snap: String): PartitionEntry = {
       val t0 = System.nanoTime()
       val report = validator.validate(source.readPartition(p), convKeys)
       // one action materializes the partition verdict (rows + violations)
@@ -76,6 +91,23 @@ class ResumableRunner(
       report.cleanup()
       entry
     }
+    val validated: Seq[PartitionEntry] =
+      if (maxConcurrent <= 1 || todo.size <= 1)
+        todo.map { case (p, snap) => validateOne(p, snap) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        // Future.traverse preserves input order in the result; a failed
+        // partition propagates (same crash semantics as sequential —
+        // completed cohort members have already committed their entries
+        // and will be skipped on the resumed run)
+        try Await.result(
+          Future.traverse(todo) { case (p, snap) => Future(validateOne(p, snap)) },
+          Duration.Inf)
+        finally pool.shutdown()
+      }
     RunSummary(validated, skip,
       validated.map(_.rowsScanned).sum, validated.map(_.violations).sum)
   }

@@ -141,6 +141,36 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(e.getMessage.contains("__HIVE_DEFAULT_PARTITION__"))
   }
 
+  test("concurrent partition validation matches sequential results; resume still skips") {
+    val root = tmpDir("conc")
+    val cfg = TranscriptGen.GenConfig(
+      numConvs = 200, seed = 13, numPartitions = 4, dupRate = 0.01, gapRate = 0.01)
+    val data = TranscriptGen.transcripts(spark, cfg)
+    ParquetPartitionedSource.write(data, root)
+    val source = new ParquetPartitionedSource(spark, root)
+    val keys = TranscriptGen.conversations(spark, cfg).select("conv_id")
+    val validator = new TranscriptValidator()
+
+    val seq = new ResumableRunner(source,
+      new CheckpointManifest(s"${tmpDir("cm1")}/m.json"), validator, Some(keys)).run()
+    val conc = new ResumableRunner(source,
+      new CheckpointManifest(s"${tmpDir("cm2")}/m.json"), validator, Some(keys),
+      maxConcurrent = 4).run()
+    assert(conc.validated.map(_.partitionId) == seq.validated.map(_.partitionId),
+      "Future.traverse must preserve partition order in the summary")
+    assert(conc.totalRows == seq.totalRows && conc.totalViolations == seq.totalViolations)
+    assert(conc.validated.map(e => (e.partitionId, e.rowsScanned, e.violations)) ==
+      seq.validated.map(e => (e.partitionId, e.rowsScanned, e.violations)))
+    // the concurrently-written manifest resumes exactly like a sequential one
+    val m2path = s"${tmpDir("cm3")}/m.json"
+    val m2 = new CheckpointManifest(m2path)
+    val first = new ResumableRunner(source, m2, validator, Some(keys), maxConcurrent = 4).run()
+    assert(first.validated.size == 4)
+    val resumed = new ResumableRunner(source, new CheckpointManifest(m2path),
+      validator, Some(keys), maxConcurrent = 4).run()
+    assert(resumed.validated.isEmpty && resumed.skipped.sorted == Seq(0, 1, 2, 3))
+  }
+
   test("explicit file: URI roots work through the Hadoop FileSystem codepath") {
     // the lineage layer lists/digests via org.apache.hadoop.fs.FileSystem
     // (so hdfs:// and s3a:// roots work on a real cluster); a scheme-ful
