@@ -38,6 +38,13 @@ object Main {
     // usage line, not a cluster spin-up plus a 10^12-row pass
     val maxGroupValues = parsePositiveInt(opts, "max-group-values")
     val maxConcurrent = parsePositiveInt(opts, "max-concurrent").getOrElse(1)
+    // a silently-ignored option is a lie to the operator: concurrency only
+    // exists on the checkpointed transcripts path
+    if (maxConcurrent > 1 && (mode != "transcripts" || !opts.contains("checkpoint"))) {
+      System.err.println("--max-concurrent requires transcripts mode with --checkpoint " +
+        "(partition-wise validation); it has no effect elsewhere")
+      usage(); sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")

@@ -58,6 +58,34 @@ class ResumableRunner(
     Constraints.all.filterNot(_ == Constraints.OrphanConv) ++
       convKeys.map(_ => Constraints.OrphanConv).toSeq)
 
+  /** Run `f` over `items` with `maxConcurrent`-bounded parallelism,
+    * preserving input order. On the first failure the shared `failed` flag
+    * makes every still-queued task bail BEFORE touching Spark, the sink,
+    * or the manifest — matching sequential crash semantics (nothing new
+    * launches after a failure; in-flight tasks finish and their commits
+    * remain valid completions). */
+  private def boundedTraverse[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (maxConcurrent <= 1 || items.size <= 1) items.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      try Await.result(
+        Future.traverse(items) { a =>
+          Future {
+            if (failed.get())
+              throw new java.util.concurrent.CancellationException(
+                "skipped: another partition in the cohort failed")
+            try f(a)
+            catch { case e: Throwable => failed.set(true); throw e }
+          }
+        },
+        Duration.Inf)
+      finally pool.shutdown()
+    }
+
   def run(): RunSummary = {
     val cHash = constraintHash
     // lineage is checked at the PARTITION grain: an append or rewrite of
@@ -66,8 +94,12 @@ class ResumableRunner(
     // what record() wrote. Snapshots are computed ONCE here — before any
     // scan, so data landing mid-validation invalidates the entry on the
     // next run — and reused for the manifest entry (in contentDigest mode
-    // a second call would repeat the per-file edge-block IO)
-    val snaps = source.partitionIds().map(p => p -> source.partitionSnapshotId(p))
+    // a second call would repeat the per-file edge-block IO). The snapshot
+    // phase shares the concurrency bound: in contentDigest mode against an
+    // object store it is two ranged GETs per file, and a serial prelude
+    // over thousands of partitions would idle the cluster before any
+    // validation begins.
+    val snaps = boundedTraverse(source.partitionIds())(p => p -> source.partitionSnapshotId(p))
     val (skipped, todo) = snaps.partition { case (p, snap) =>
       manifest.isComplete(p, snap, cHash)
     }
@@ -91,23 +123,7 @@ class ResumableRunner(
       report.cleanup()
       entry
     }
-    val validated: Seq[PartitionEntry] =
-      if (maxConcurrent <= 1 || todo.size <= 1)
-        todo.map { case (p, snap) => validateOne(p, snap) }
-      else {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        // Future.traverse preserves input order in the result; a failed
-        // partition propagates (same crash semantics as sequential —
-        // completed cohort members have already committed their entries
-        // and will be skipped on the resumed run)
-        try Await.result(
-          Future.traverse(todo) { case (p, snap) => Future(validateOne(p, snap)) },
-          Duration.Inf)
-        finally pool.shutdown()
-      }
+    val validated = boundedTraverse(todo) { case (p, snap) => validateOne(p, snap) }
     RunSummary(validated, skip,
       validated.map(_.rowsScanned).sum, validated.map(_.violations).sum)
   }

@@ -171,6 +171,33 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(resumed.validated.isEmpty && resumed.skipped.sorted == Seq(0, 1, 2, 3))
   }
 
+  test("concurrent cohort bails on failure: queued partitions never commit, resume completes") {
+    val root = tmpDir("bail")
+    val data = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 100, seed = 17, numPartitions = 4))
+    ParquetPartitionedSource.write(data, root)
+    val source = new ParquetPartitionedSource(spark, root)
+    val mpath = s"${tmpDir("bm")}/m.json"
+    // sink fails on the first two partitions (the ones a 2-thread pool
+    // runs first); the sink runs BEFORE the manifest commit, so neither
+    // commits, and the flag makes the two queued partitions bail before
+    // touching Spark or the manifest
+    val failing: (Int, TranscriptReport) => Unit = (p, _) =>
+      if (p <= 1) throw new RuntimeException(s"sink boom p$p") else ()
+    val e = intercept[Exception] {
+      new ResumableRunner(source, new CheckpointManifest(mpath),
+        new TranscriptValidator(), None, Some(failing), maxConcurrent = 2).run()
+    }
+    assert(e.getMessage.contains("boom") || e.getMessage.contains("cohort"),
+      s"failure must propagate, got $e")
+    assert(new CheckpointManifest(mpath).load().isEmpty,
+      "no partition may commit after the cohort failed before any commit")
+    // resume with a healthy sink validates everything
+    val ok = new ResumableRunner(source, new CheckpointManifest(mpath),
+      new TranscriptValidator(), None, None, maxConcurrent = 2).run()
+    assert(ok.validated.map(_.partitionId).sorted == Seq(0, 1, 2, 3))
+  }
+
   test("explicit file: URI roots work through the Hadoop FileSystem codepath") {
     // the lineage layer lists/digests via org.apache.hadoop.fs.FileSystem
     // (so hdfs:// and s3a:// roots work on a real cluster); a scheme-ful
