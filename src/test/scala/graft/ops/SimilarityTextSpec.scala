@@ -142,6 +142,25 @@ class SimilarityTextSpec extends SparkSuite {
     emb.unpersist()
   }
 
+  test("negating a vector complements its hyperplane signature in every table") {
+    // the premise of the q_ann_lsh_hot hard oracle: sig(-v) is the bitwise
+    // complement of sig(v) per table, so a hot cluster built from -v is
+    // Hamming-16 from v's bucket and unreachable by <=2-bit multiprobe.
+    // Exact unless some plane dot is exactly +-0.0 — verify it holds for
+    // EVERY corpus vector, not just the one the oracle uses.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = 16; val tables = 8
+    val mask = (1L << planes) - 1
+    import graft.functions.HyperplaneSignatures.hyperplane_signatures
+    val bad = emb.select(
+        hyperplane_signatures(col("embedding"), planes, tables).as("s"),
+        hyperplane_signatures(transform(col("embedding"), x => -x), planes, tables).as("n"))
+      .filter(exists(zip_with(col("s"), col("n"),
+        (a, b) => a.bitwiseXOR(b) =!= lit(mask)), p => p))
+      .count()
+    assert(bad == 0L, s"$bad vectors whose negation is not the exact complement")
+  }
+
   test("brute-force top-k works when items and queries share column names") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 2) // same schema, same names
