@@ -81,6 +81,44 @@ class StreamingValidatorSpec extends SparkSuite {
     assert(byWindow("00:01").psi > byWindow("00:00").psi)
   }
 
+  test("numeric drift leg: streaming text-length histogram vs a batch-style baseline") {
+    // the north rule's text-length drift check on the streaming layer:
+    // StatsProfiler.bin supplies the SAME clamped fixed-width bin ids the
+    // batch histograms use, so a batch-collected baseline compares
+    // directly against the windowed stream — no separate binning logic
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    import graft.transcript.{Drift, StatsProfiler}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // baseline: texts uniformly 10-39 chars -> bins 1,2,3 of width 10
+    val baseline: Drift.Histogram = Map("1" -> 30L, "2" -> 30L, "3" -> 30L)
+    val verdicts = scala.collection.mutable.ListBuffer.empty[(java.sql.Timestamp, Drift.DriftVerdict)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingValidator.startWindowedDriftMonitor(
+      input.toDF().toDF("text", "ts"), "ts",
+      StatsProfiler.bin(length(col("text")), lo = 0, width = 10, nBins = 8),
+      "text_len", baseline,
+      (w, v) => verdicts.synchronized { verdicts += (w -> v); () },
+      watermark = "0 seconds", windowLen = "1 minute")
+    try {
+      def t(min: Int, s: Int) =
+        java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:$s%02d")
+      // window 0 matches the baseline mix; window 1 is all short texts
+      input.addData((1 to 30).map(i => ("x" * (12 + (i % 3) * 10), t(0, i % 60))): _*)
+      q.processAllAvailable()
+      input.addData((1 to 30).map(_ => ("hi", t(1, 1))): _*)
+      q.processAllAvailable()
+      input.addData(("flush", t(10, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byWindow = verdicts.synchronized(verdicts.toList)
+      .map { case (w, v) => w.toString.substring(11, 16) -> v }.toMap
+    assert(byWindow.contains("00:00") && byWindow.contains("00:01"), byWindow.keySet.toString)
+    assert(!byWindow("00:00").drifted, s"matching length mix must pass: ${byWindow("00:00")}")
+    assert(byWindow("00:01").drifted, s"all-short window must flag: ${byWindow("00:01")}")
+  }
+
   test("drift monitor state stays bounded under a high-cardinality value column") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
