@@ -86,9 +86,12 @@ object Bench {
     val budgets: Map[String, Double] =
       if (!sfApplies) Map.empty // calibrated at sf0.1 only
       else scala.util.Try {
-        val txt = Files.readString(Paths.get("BENCH/budgets.json"))
-        """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(Paths.get("BENCH/budgets.json")))
+        import scala.jdk.CollectionConverters._
+        root.properties().asScala
+          .filter(e => !e.getKey.startsWith("_") && e.getValue.isNumber)
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
       }.getOrElse(Map.empty)
     // a subset run never evaluated the other queries' budgets — it must
     // not read as a full-suite budget pass
