@@ -222,11 +222,31 @@ object Main {
         val sink = opts.get("violations").map { out => (p: Int, r: TranscriptReport) =>
           r.violations.write.mode("overwrite").parquet(s"$out/partition_id=$p")
         }
+        // --baseline under --checkpoint additionally localizes drift to
+        // the partition grain: each VALIDATED partition's role/text_len
+        // histograms PSI/KS-compare against the (table-level) baseline —
+        // "the corpus drifted" becomes "partitions 3 and 7 drifted",
+        // riding the same checkpointed loop. The table-level verdict
+        // below is unchanged.
+        val driftCheck = opts.get("baseline").map { p =>
+          ResumableRunner.DriftCheck(
+            baseline = Drift.snapshotFromJson(Files.readString(Paths.get(p))),
+            histograms = df => Map(
+              "role" -> Drift.collect(StatsProfiler.categoricalHistogram(df, col("role"))),
+              "text_len" -> Drift.collect(
+                StatsProfiler.numericHistogram(df, length(col("text")), 0, 20, 20))),
+            onVerdicts = (pid, verdicts, unchecked) => {
+              verdicts.foreach(v => println(
+                f"drift p=$pid ${v.name}: psi=${v.psi}%.4f ks=${v.ks}%.4f drifted=${v.drifted}"))
+              unchecked.foreach(n => System.err.println(
+                s"warning: partition $pid metric '$n' missing from the baseline — NOT drift-checked"))
+            })
+        }
         // --max-concurrent N: validate N partitions simultaneously (Spark
         // accepts multi-threaded job submission; manifest commits stay
         // atomic per partition); validated in main() before Spark startup
         val summary = new ResumableRunner(source, manifest, validator, convKeys, sink,
-          maxConcurrent).run()
+          maxConcurrent, driftCheck).run()
         println(s"validated=${summary.validated.map(_.partitionId).mkString(",")}" +
           s" skipped=${summary.skipped.mkString(",")} rows=${summary.totalRows}" +
           s" violations=${summary.totalViolations}")

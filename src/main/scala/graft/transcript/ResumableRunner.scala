@@ -28,6 +28,15 @@ import graft.io.TableSource
   *   multiple threads (distinct partitions) — it must be thread-safe or
   *   write to per-partition destinations (a hive-partitioned parquet
   *   writer is).
+  * @param driftCheck optional per-partition distribution-drift leg: for
+  *   each VALIDATED partition, `histograms` aggregates the partition's
+  *   binned histograms and each is PSI/KS-compared against the baseline
+  *   snapshot; verdicts go to `onVerdicts`. PSI/KS normalize by mass, so a
+  *   partition's distribution compares against a table-level baseline
+  *   directly — this localizes "the corpus drifted" to WHICH partitions
+  *   drifted, riding the same checkpointed loop (skipped partitions are
+  *   not re-checked, same as their validation). Costs one extra
+  *   aggregation scan per validated partition.
   * @param maxConcurrent partitions validated simultaneously. Spark accepts
   *   job submission from multiple driver threads, so in-flight partitions
   *   overlap their scan/shuffle stages — on a large cluster a single
@@ -44,7 +53,8 @@ class ResumableRunner(
     validator: TranscriptValidator,
     convKeys: Option[DataFrame] = None,
     sink: Option[(Int, TranscriptReport) => Unit] = None,
-    maxConcurrent: Int = 1) {
+    maxConcurrent: Int = 1,
+    driftCheck: Option[ResumableRunner.DriftCheck] = None) {
 
   require(maxConcurrent >= 1, s"maxConcurrent must be >= 1, got $maxConcurrent")
 
@@ -111,6 +121,17 @@ class ResumableRunner(
       val verdict = report.partitionVerdicts
         .agg(sum(col("rows_scanned")), sum(col("violations"))).collect()(0)
       sink.foreach(_(p, report))
+      // per-partition drift BEFORE the manifest commit: like the sink, a
+      // crash mid-drift re-validates (and re-checks) the partition
+      driftCheck.foreach { dc =>
+        val hs = dc.histograms(source.readPartition(p)).toSeq.sortBy(_._1)
+        // metrics absent from the baseline are UNCHECKED, not self-compared
+        // (psi 0 vs itself would silently read as "no drift")
+        val (covered, uncovered) = hs.partition { case (n, _) => dc.baseline.contains(n) }
+        dc.onVerdicts(p,
+          covered.map { case (n, h) => Drift.verdict(n, dc.baseline(n), h) },
+          uncovered.map(_._1))
+      }
       val entry = PartitionEntry(
         partitionId = p, snapshotId = snap, constraintHash = cHash,
         rowsScanned = if (verdict.isNullAt(0)) 0L else verdict.getLong(0),
@@ -127,4 +148,20 @@ class ResumableRunner(
     RunSummary(validated, skip,
       validated.map(_.rowsScanned).sum, validated.map(_.violations).sum)
   }
+}
+
+object ResumableRunner {
+  /** Per-partition drift configuration.
+    * @param baseline table-level baseline snapshot (PSI/KS normalize by
+    *   mass, so partition-vs-table comparison is well-defined)
+    * @param histograms aggregates a partition's binned histograms (e.g.
+    *   role frequencies via [[StatsProfiler.categoricalHistogram]],
+    *   text-length bins via [[StatsProfiler.numericHistogram]])
+    * @param onVerdicts receives (partitionId, verdicts for baseline-covered
+    *   metrics, names of produced-but-uncovered metrics). Called from
+    *   worker threads under `maxConcurrent > 1` — must be thread-safe. */
+  final case class DriftCheck(
+      baseline: Map[String, Drift.Histogram],
+      histograms: DataFrame => Map[String, Drift.Histogram],
+      onVerdicts: (Int, Seq[Drift.DriftVerdict], Seq[String]) => Unit)
 }

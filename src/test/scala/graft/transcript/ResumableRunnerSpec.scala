@@ -198,6 +198,37 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(ok.validated.map(_.partitionId).sorted == Seq(0, 1, 2, 3))
   }
 
+  test("per-partition drift: skewed partition flags, matching passes, uncovered metric surfaces") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = tmpDir("pdrift")
+    // partition 0: balanced user/assistant; partition 1: all user
+    val rows = (0 until 40).map { i =>
+      val part = i / 20
+      val role = if (part == 0) (if (i % 2 == 0) "user" else "assistant") else "user"
+      (s"c$part", i % 20, role, "some text", null.asInstanceOf[String],
+        java.sql.Timestamp.valueOf(f"2026-01-01 00:00:${i % 20}%02d"), part)
+    }
+    rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "partition_id")
+      .write.mode("overwrite").partitionBy("partition_id").parquet(root)
+    val baseline: Map[String, Drift.Histogram] = Map("role" -> Map("user" -> 50L, "assistant" -> 50L))
+    val got = scala.collection.mutable.Map[Int, (Seq[Drift.DriftVerdict], Seq[String])]()
+    val dc = ResumableRunner.DriftCheck(
+      baseline,
+      df => Map(
+        "role" -> Drift.collect(StatsProfiler.categoricalHistogram(df, col("role"))),
+        "not_in_baseline" -> Map("x" -> 1L)),
+      (p, vs, un) => got.synchronized { got(p) = (vs, un); () })
+    new ResumableRunner(new ParquetPartitionedSource(spark, root),
+      new CheckpointManifest(s"${tmpDir("pdm")}/m.json"),
+      new TranscriptValidator(), None, None, maxConcurrent = 2, Some(dc)).run()
+    val (v0, u0) = got.synchronized(got(0)); val (v1, u1) = got.synchronized(got(1))
+    assert(!v0.exists(_.drifted), s"balanced partition must pass: $v0")
+    assert(v1.exists(v => v.name == "role" && v.drifted), s"all-user partition must flag: $v1")
+    assert(u0 == Seq("not_in_baseline") && u1 == Seq("not_in_baseline"),
+      "metrics absent from the baseline surface as unchecked, never self-compare")
+  }
+
   test("explicit file: URI roots work through the Hadoop FileSystem codepath") {
     // the lineage layer lists/digests via org.apache.hadoop.fs.FileSystem
     // (so hdfs:// and s3a:// roots work on a real cluster); a scheme-ful
