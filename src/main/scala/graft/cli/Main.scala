@@ -216,6 +216,23 @@ object Main {
     val convKeys = opts.get("conv-keys").map(p => spark.read.parquet(p))
     val validator = new TranscriptValidator()
 
+    // parse the baseline ONCE and share it between the per-partition and
+    // table-level legs: two reads of the same path could silently compare
+    // against different baselines if the file is replaced mid-run (e.g. a
+    // concurrent --write-baseline)
+    val baselineSnap: Option[Map[String, Drift.Histogram]] =
+      opts.get("baseline").map(p => Drift.snapshotFromJson(Files.readString(Paths.get(p))))
+    def histogramsOf(df: DataFrame): Map[String, Drift.Histogram] = Map(
+      "role" -> Drift.collect(StatsProfiler.categoricalHistogram(df, col("role"))),
+      "text_len" -> Drift.collect(
+        StatsProfiler.numericHistogram(df, length(col("text")), 0, 20, 20)))
+
+    // per-partition histograms are additive: when the checkpointed run
+    // validated EVERY partition, their sum IS the table histogram and the
+    // table-level drift leg below reuses it instead of a third full scan
+    val partHistSums = scala.collection.mutable.Map[String, Drift.Histogram]()
+    var allPartitionsValidated = false
+
     val totalViolations: Long = opts.get("checkpoint") match {
       case Some(manifestPath) =>
         val manifest = new CheckpointManifest(manifestPath)
@@ -228,18 +245,22 @@ object Main {
         // "the corpus drifted" becomes "partitions 3 and 7 drifted",
         // riding the same checkpointed loop. The table-level verdict
         // below is unchanged.
-        val driftCheck = opts.get("baseline").map { p =>
+        val driftCheck = baselineSnap.map { base =>
           ResumableRunner.DriftCheck(
-            baseline = Drift.snapshotFromJson(Files.readString(Paths.get(p))),
-            histograms = df => Map(
-              "role" -> Drift.collect(StatsProfiler.categoricalHistogram(df, col("role"))),
-              "text_len" -> Drift.collect(
-                StatsProfiler.numericHistogram(df, length(col("text")), 0, 20, 20))),
-            onVerdicts = (pid, verdicts, unchecked) => {
-              verdicts.foreach(v => println(
-                f"drift p=$pid ${v.name}: psi=${v.psi}%.4f ks=${v.ks}%.4f drifted=${v.drifted}"))
-              unchecked.foreach(n => System.err.println(
-                s"warning: partition $pid metric '$n' missing from the baseline — NOT drift-checked"))
+            baseline = base,
+            histograms = histogramsOf,
+            onVerdicts = pd => {
+              pd.verdicts.foreach(v => println(
+                f"drift p=${pd.partitionId} ${v.name}: psi=${v.psi}%.4f ks=${v.ks}%.4f drifted=${v.drifted}"))
+              pd.producedNotInBaseline.foreach(n => System.err.println(
+                s"warning: partition ${pd.partitionId} metric '$n' missing from the baseline — NOT drift-checked"))
+              pd.baselineNotProduced.foreach(n => System.err.println(
+                s"warning: baseline metric '$n' not produced for partition ${pd.partitionId} — skipped"))
+              partHistSums.synchronized {
+                for ((k, h) <- pd.histograms)
+                  partHistSums(k) = (partHistSums.getOrElse(k, Map.empty).toSeq ++ h.toSeq)
+                    .groupMapReduce(_._1)(_._2)(_ + _)
+              }
             })
         }
         // --max-concurrent N: validate N partitions simultaneously (Spark
@@ -247,6 +268,12 @@ object Main {
         // atomic per partition); validated in main() before Spark startup
         val summary = new ResumableRunner(source, manifest, validator, convKeys, sink,
           maxConcurrent, driftCheck).run()
+        allPartitionsValidated = summary.skipped.isEmpty
+        // skipped partitions were NOT drift-checked — say so, or the
+        // absence of drift lines reads as "no partition drifted"
+        if (driftCheck.isDefined && summary.skipped.nonEmpty)
+          println(s"drift: partitions ${summary.skipped.mkString(",")} skipped " +
+            "(already validated under this lineage) — not re-drift-checked")
         println(s"validated=${summary.validated.map(_.partitionId).mkString(",")}" +
           s" skipped=${summary.skipped.mkString(",")} rows=${summary.totalRows}" +
           s" violations=${summary.totalViolations}")
@@ -266,20 +293,18 @@ object Main {
     // drift leg: compare against (or write) a baseline histogram snapshot.
     // lazy + shared: --baseline AND --write-baseline together must scan
     // the table once for the histograms, not twice, and a run using
-    // neither flag must not read the table here at all
-    lazy val cur: Map[String, Drift.Histogram] = {
-      val data = source.read()
-      Map(
-        "role" -> Drift.collect(StatsProfiler.categoricalHistogram(data, col("role"))),
-        "text_len" -> Drift.collect(
-          StatsProfiler.numericHistogram(data, length(col("text")), 0, 20, 20)))
-    }
+    // neither flag must not read the table here at all. When the
+    // checkpointed loop just validated EVERY partition, the summed
+    // per-partition histograms ARE the table histograms — no extra scan.
+    lazy val cur: Map[String, Drift.Histogram] =
+      if (allPartitionsValidated && partHistSums.synchronized(partHistSums.nonEmpty))
+        partHistSums.synchronized(partHistSums.toMap)
+      else histogramsOf(source.read())
     opts.get("write-baseline").foreach { p =>
       Files.writeString(Paths.get(p), Drift.snapshotToJson(cur))
       println(s"wrote baseline snapshot $p")
     }
-    val drifted = opts.get("baseline").exists { p =>
-      val base = Drift.snapshotFromJson(Files.readString(Paths.get(p)))
+    val drifted = baselineSnap.exists { base =>
       // a baseline from a different build may carry metrics this build
       // doesn't produce (or miss ones it does): warn SYMMETRICALLY and
       // skip, never crash after validation already completed — a silent

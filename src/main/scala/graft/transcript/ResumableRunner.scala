@@ -122,15 +122,26 @@ class ResumableRunner(
         .agg(sum(col("rows_scanned")), sum(col("violations"))).collect()(0)
       sink.foreach(_(p, report))
       // per-partition drift BEFORE the manifest commit: like the sink, a
-      // crash mid-drift re-validates (and re-checks) the partition
+      // crash mid-drift re-validates (and re-checks) the partition. The
+      // partition df is persisted across the histogram aggregations so N
+      // metrics cost ONE extra partition scan, not N.
       driftCheck.foreach { dc =>
-        val hs = dc.histograms(source.readPartition(p)).toSeq.sortBy(_._1)
-        // metrics absent from the baseline are UNCHECKED, not self-compared
-        // (psi 0 vs itself would silently read as "no drift")
-        val (covered, uncovered) = hs.partition { case (n, _) => dc.baseline.contains(n) }
-        dc.onVerdicts(p,
-          covered.map { case (n, h) => Drift.verdict(n, dc.baseline(n), h) },
-          uncovered.map(_._1))
+        val pdf = source.readPartition(p)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val hs = dc.histograms(pdf).toSeq.sortBy(_._1)
+          // asymmetries are SURFACED, never silently intersected: a metric
+          // absent from the baseline must not self-compare (psi 0 reads as
+          // "no drift"), and a baseline metric the histograms fn doesn't
+          // produce must not vanish
+          val (covered, uncovered) = hs.partition { case (n, _) => dc.baseline.contains(n) }
+          dc.onVerdicts(ResumableRunner.PartitionDrift(
+            partitionId = p,
+            verdicts = covered.map { case (n, h) => Drift.verdict(n, dc.baseline(n), h) },
+            producedNotInBaseline = uncovered.map(_._1),
+            baselineNotProduced = (dc.baseline.keySet -- hs.map(_._1)).toSeq.sorted,
+            histograms = hs.toMap))
+        } finally { pdf.unpersist(); () }
       }
       val entry = PartitionEntry(
         partitionId = p, snapshotId = snap, constraintHash = cHash,
@@ -151,17 +162,29 @@ class ResumableRunner(
 }
 
 object ResumableRunner {
+  /** One validated partition's drift outcome: verdicts for baseline-covered
+    * metrics, both asymmetry directions surfaced by name, and the raw
+    * histograms (additive across partitions — callers can sum them into a
+    * table-level histogram without a separate full-table scan). */
+  final case class PartitionDrift(
+      partitionId: Int,
+      verdicts: Seq[Drift.DriftVerdict],
+      producedNotInBaseline: Seq[String],
+      baselineNotProduced: Seq[String],
+      histograms: Map[String, Drift.Histogram])
+
   /** Per-partition drift configuration.
     * @param baseline table-level baseline snapshot (PSI/KS normalize by
     *   mass, so partition-vs-table comparison is well-defined)
     * @param histograms aggregates a partition's binned histograms (e.g.
     *   role frequencies via [[StatsProfiler.categoricalHistogram]],
-    *   text-length bins via [[StatsProfiler.numericHistogram]])
-    * @param onVerdicts receives (partitionId, verdicts for baseline-covered
-    *   metrics, names of produced-but-uncovered metrics). Called from
-    *   worker threads under `maxConcurrent > 1` — must be thread-safe. */
+    *   text-length bins via [[StatsProfiler.numericHistogram]]); the df it
+    *   receives is persisted for the call, so N metrics = one extra scan
+    * @param onVerdicts receives each validated partition's
+    *   [[PartitionDrift]]. Called from worker threads under
+    *   `maxConcurrent > 1` — must be thread-safe. */
   final case class DriftCheck(
       baseline: Map[String, Drift.Histogram],
       histograms: DataFrame => Map[String, Drift.Histogram],
-      onVerdicts: (Int, Seq[Drift.DriftVerdict], Seq[String]) => Unit)
+      onVerdicts: PartitionDrift => Unit)
 }

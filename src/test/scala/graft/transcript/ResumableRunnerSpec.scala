@@ -212,21 +212,29 @@ class ResumableRunnerSpec extends SparkSuite {
     rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "partition_id")
       .write.mode("overwrite").partitionBy("partition_id").parquet(root)
     val baseline: Map[String, Drift.Histogram] = Map("role" -> Map("user" -> 50L, "assistant" -> 50L))
-    val got = scala.collection.mutable.Map[Int, (Seq[Drift.DriftVerdict], Seq[String])]()
+    val got = scala.collection.mutable.Map[Int, ResumableRunner.PartitionDrift]()
     val dc = ResumableRunner.DriftCheck(
       baseline,
       df => Map(
         "role" -> Drift.collect(StatsProfiler.categoricalHistogram(df, col("role"))),
         "not_in_baseline" -> Map("x" -> 1L)),
-      (p, vs, un) => got.synchronized { got(p) = (vs, un); () })
+      pd => got.synchronized { got(pd.partitionId) = pd; () })
     new ResumableRunner(new ParquetPartitionedSource(spark, root),
       new CheckpointManifest(s"${tmpDir("pdm")}/m.json"),
       new TranscriptValidator(), None, None, maxConcurrent = 2, Some(dc)).run()
-    val (v0, u0) = got.synchronized(got(0)); val (v1, u1) = got.synchronized(got(1))
-    assert(!v0.exists(_.drifted), s"balanced partition must pass: $v0")
-    assert(v1.exists(v => v.name == "role" && v.drifted), s"all-user partition must flag: $v1")
-    assert(u0 == Seq("not_in_baseline") && u1 == Seq("not_in_baseline"),
+    val d0 = got.synchronized(got(0)); val d1 = got.synchronized(got(1))
+    assert(!d0.verdicts.exists(_.drifted), s"balanced partition must pass: ${d0.verdicts}")
+    assert(d1.verdicts.exists(v => v.name == "role" && v.drifted),
+      s"all-user partition must flag: ${d1.verdicts}")
+    assert(d0.producedNotInBaseline == Seq("not_in_baseline") &&
+      d1.producedNotInBaseline == Seq("not_in_baseline"),
       "metrics absent from the baseline surface as unchecked, never self-compare")
+    assert(d0.baselineNotProduced.isEmpty,
+      "role IS produced — no false baseline-not-produced warning")
+    // histograms are exposed and additive: summed partitions = whole table
+    val summed = (d0.histograms("role").toSeq ++ d1.histograms("role").toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(summed == Map("user" -> 30L, "assistant" -> 10L), summed.toString)
   }
 
   test("explicit file: URI roots work through the Hadoop FileSystem codepath") {
