@@ -219,8 +219,12 @@ object Main {
     // parse the baseline ONCE and share it between the per-partition and
     // table-level legs: two reads of the same path could silently compare
     // against different baselines if the file is replaced mid-run (e.g. a
-    // concurrent --write-baseline)
-    val baselineSnap: Option[Map[String, Drift.Histogram]] =
+    // concurrent --write-baseline). LAZY so the non-checkpoint path keeps
+    // its contract of failing on an unreadable baseline only AFTER
+    // validation completed and violations were written; the checkpointed
+    // path forces it up front by necessity (the per-partition leg needs
+    // it before the loop), which loses nothing — the manifest is intact.
+    lazy val baselineSnap: Option[Map[String, Drift.Histogram]] =
       opts.get("baseline").map(p => Drift.snapshotFromJson(Files.readString(Paths.get(p))))
     def histogramsOf(df: DataFrame): Map[String, Drift.Histogram] = Map(
       "role" -> Drift.collect(StatsProfiler.categoricalHistogram(df, col("role"))),
@@ -245,21 +249,28 @@ object Main {
         // "the corpus drifted" becomes "partitions 3 and 7 drifted",
         // riding the same checkpointed loop. The table-level verdict
         // below is unchanged.
+        // metric-set mismatches are invariant across partitions (baseline
+        // keys vs the fixed histogramsOf keys): warn ONCE, not once per
+        // partition — 5000 identical stderr lines bury real signal
+        val warnedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
         val driftCheck = baselineSnap.map { base =>
           ResumableRunner.DriftCheck(
             baseline = base,
             histograms = histogramsOf,
+            columns = Seq("role", "text"),
             onVerdicts = pd => {
               pd.verdicts.foreach(v => println(
                 f"drift p=${pd.partitionId} ${v.name}: psi=${v.psi}%.4f ks=${v.ks}%.4f drifted=${v.drifted}"))
-              pd.producedNotInBaseline.foreach(n => System.err.println(
-                s"warning: partition ${pd.partitionId} metric '$n' missing from the baseline — NOT drift-checked"))
-              pd.baselineNotProduced.foreach(n => System.err.println(
-                s"warning: baseline metric '$n' not produced for partition ${pd.partitionId} — skipped"))
+              if ((pd.producedNotInBaseline.nonEmpty || pd.baselineNotProduced.nonEmpty)
+                  && warnedOnce.compareAndSet(false, true)) {
+                pd.producedNotInBaseline.foreach(n => System.err.println(
+                  s"warning: metric '$n' missing from the baseline — NOT drift-checked (any partition)"))
+                pd.baselineNotProduced.foreach(n => System.err.println(
+                  s"warning: baseline metric '$n' not produced by this build — skipped (any partition)"))
+              }
               partHistSums.synchronized {
                 for ((k, h) <- pd.histograms)
-                  partHistSums(k) = (partHistSums.getOrElse(k, Map.empty).toSeq ++ h.toSeq)
-                    .groupMapReduce(_._1)(_._2)(_ + _)
+                  partHistSums(k) = Drift.merge(partHistSums.getOrElse(k, Map.empty), h)
               }
             })
         }

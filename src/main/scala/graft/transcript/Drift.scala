@@ -28,6 +28,14 @@ object Drift {
       .map(r => Option(r.get(0)).map(_.toString).getOrElse(NullBin) -> r.getLong(1))
       .groupMapReduce(_._1)(_._2)(_ + _)
 
+  /** Sum two histograms bin-wise. Histograms over the same binning are
+    * additive (fixed-bin groupBy counts), so partition histograms merge
+    * into table histograms — a plain `++` would overwrite colliding bins
+    * instead of summing, the same label-collision bug [[collect]] guards
+    * against. */
+  def merge(a: Histogram, b: Histogram): Histogram =
+    (a.toSeq ++ b.toSeq).groupMapReduce(_._1)(_._2)(_ + _)
+
   /** Population Stability Index: sum over bins of (p-q)·ln(p/q), with the
     * standard epsilon floor for empty bins. PSI < 0.1 stable, 0.1-0.25
     * moderate, > 0.25 drifted. */

@@ -126,7 +126,12 @@ class ResumableRunner(
       // partition df is persisted across the histogram aggregations so N
       // metrics cost ONE extra partition scan, not N.
       driftCheck.foreach { dc =>
-        val pdf = source.readPartition(p)
+        // persist ONLY the projected drift columns: caching the full-width
+        // partition (large text payloads and all) would defeat parquet
+        // column pruning and pressure the same executor storage the
+        // validator's own caches use — N concurrent partitions would pin
+        // N full partitions
+        val pdf = source.readPartition(p).select(dc.columns.map(col): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val hs = dc.histograms(pdf).toSeq.sortBy(_._1)
@@ -179,12 +184,16 @@ object ResumableRunner {
     * @param histograms aggregates a partition's binned histograms (e.g.
     *   role frequencies via [[StatsProfiler.categoricalHistogram]],
     *   text-length bins via [[StatsProfiler.numericHistogram]]); the df it
-    *   receives is persisted for the call, so N metrics = one extra scan
+    *   receives is the partition PROJECTED to `columns` and persisted for
+    *   the call, so N metrics = one extra pruned scan
+    * @param columns the source columns `histograms` reads — the projection
+    *   that gets persisted (never the full-width partition)
     * @param onVerdicts receives each validated partition's
     *   [[PartitionDrift]]. Called from worker threads under
     *   `maxConcurrent > 1` — must be thread-safe. */
   final case class DriftCheck(
       baseline: Map[String, Drift.Histogram],
       histograms: DataFrame => Map[String, Drift.Histogram],
+      columns: Seq[String],
       onVerdicts: PartitionDrift => Unit)
 }

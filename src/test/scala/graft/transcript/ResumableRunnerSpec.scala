@@ -218,6 +218,7 @@ class ResumableRunnerSpec extends SparkSuite {
       df => Map(
         "role" -> Drift.collect(StatsProfiler.categoricalHistogram(df, col("role"))),
         "not_in_baseline" -> Map("x" -> 1L)),
+      Seq("role"),
       pd => got.synchronized { got(pd.partitionId) = pd; () })
     new ResumableRunner(new ParquetPartitionedSource(spark, root),
       new CheckpointManifest(s"${tmpDir("pdm")}/m.json"),
@@ -232,8 +233,7 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(d0.baselineNotProduced.isEmpty,
       "role IS produced — no false baseline-not-produced warning")
     // histograms are exposed and additive: summed partitions = whole table
-    val summed = (d0.histograms("role").toSeq ++ d1.histograms("role").toSeq)
-      .groupMapReduce(_._1)(_._2)(_ + _)
+    val summed = Drift.merge(d0.histograms("role"), d1.histograms("role"))
     assert(summed == Map("user" -> 30L, "assistant" -> 10L), summed.toString)
   }
 
