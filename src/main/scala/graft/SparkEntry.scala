@@ -561,8 +561,13 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |       count(*) FILTER (WHERE props IS NULL) AS null_props
         |FROM events""".stripMargin,
+    // NULL texts bin to NULL on both sides (the corpus has none — the
+    // CASE keeps the formulas equivalent if that ever changes); the clamp
+    // runs before any narrowing so out-of-range values cannot wrap
     "q_textlen_histogram" ->
-      """SELECT CAST(least(29, greatest(0, CAST(floor(length(text) / 100.0) AS INTEGER))) AS VARCHAR) AS bin,
+      """SELECT CASE WHEN text IS NULL THEN NULL
+        |            ELSE CAST(least(29, greatest(0, CAST(floor(length(text) / 100.0) AS BIGINT))) AS VARCHAR)
+        |       END AS bin,
         |       count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->

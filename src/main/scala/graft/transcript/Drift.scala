@@ -22,11 +22,23 @@ object Drift {
     * get the reserved [[NullBin]] label; colliding labels (a genuine
     * "<null>" string bin) MERGE by summing — a plain toMap would keep
     * only the last entry and silently shrink the distribution, corrupting
-    * PSI/KS against it. */
-  def collect(df: DataFrame): Histogram =
-    df.collect().toSeq
+    * PSI/KS against it.
+    *
+    * Guarded against the classic misuse the streaming leg caps explicitly
+    * (pointing a drift monitor at a high-cardinality column like
+    * conv_id): the collect is LIMIT-bounded so an id-like bin column
+    * raises an actionable error instead of pulling billions of groups
+    * into the driver. */
+  def collect(df: DataFrame, maxBins: Int = 100000): Histogram = {
+    val rows = df.limit(maxBins + 1).collect().toSeq
+    require(rows.length <= maxBins,
+      s"histogram exceeds $maxBins bins — this is not a categorical/binned " +
+        "column; bin it (StatsProfiler.bin) or declare a category set like " +
+        "the streaming leg's bounded-state binning")
+    rows
       .map(r => Option(r.get(0)).map(_.toString).getOrElse(NullBin) -> r.getLong(1))
       .groupMapReduce(_._1)(_._2)(_ + _)
+  }
 
   /** Sum two histograms bin-wise. Histograms over the same binning are
     * additive (fixed-bin groupBy counts), so partition histograms merge
@@ -55,9 +67,12 @@ object Drift {
   def ks(baseline: Histogram, current: Histogram): Double = {
     // lexical tie-break keeps categorical (non-numeric) bins deterministic
     // across runs — an unordered tie at MaxValue would make KS depend on
-    // Map iteration order
+    // Map iteration order. A literal "NaN" label PARSES to Double.NaN,
+    // whose IEEE comparisons violate the sort contract (TimSort can throw)
+    // — route non-finite parses to the categorical fallback explicitly.
     val bins = (baseline.keySet ++ current.keySet).toSeq
-      .sortBy(k => (scala.util.Try(k.toDouble).getOrElse(Double.MaxValue), k))
+      .sortBy(k => (scala.util.Try(k.toDouble).toOption.filterNot(_.isNaN)
+        .getOrElse(Double.MaxValue), k))
     val bTot = math.max(1L, baseline.values.sum).toDouble
     val cTot = math.max(1L, current.values.sum).toDouble
     var cb = 0.0; var cc = 0.0; var d = 0.0
@@ -71,10 +86,18 @@ object Drift {
 
   final case class DriftVerdict(name: String, psi: Double, ks: Double, drifted: Boolean)
 
+  /** Drift verdict. `drifted` gates on PSI by default — the KS statistic
+    * is reported but INFORMATIONAL unless `ksThreshold` is set: a
+    * cumulative one-directional shift can carry decisive KS (0.10 at
+    * 10^12-row mass) while per-bin PSI stays under 0.25, so callers
+    * watching ordered numeric histograms should pass a ksThreshold (0.1
+    * is a common choice) to gate on both. */
   def verdict(name: String, baseline: Histogram, current: Histogram,
-              psiThreshold: Double = 0.25): DriftVerdict = {
+              psiThreshold: Double = 0.25,
+              ksThreshold: Double = Double.PositiveInfinity): DriftVerdict = {
     val p = psi(baseline, current)
-    DriftVerdict(name, p, ks(baseline, current), p > psiThreshold)
+    val k = ks(baseline, current)
+    DriftVerdict(name, p, k, p > psiThreshold || k > ksThreshold)
   }
 
   // ---- baseline snapshot codec (JSON) ---------------------------------------

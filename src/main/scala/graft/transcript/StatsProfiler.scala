@@ -21,7 +21,10 @@ object StatsProfiler {
   class NumericMomentsAgg extends Aggregator[java.lang.Double, MomentsBuf, Moments] {
     def zero: MomentsBuf = MomentsBuf(0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
     def reduce(b: MomentsBuf, x: java.lang.Double): MomentsBuf =
-      if (x == null) b
+      // skip non-finite like nulls: one NaN row (a 0/0 ratio upstream)
+      // would otherwise poison mean/m2/min/max for the entire profile —
+      // math.min(x, NaN) is NaN, and the merge spreads it to every buffer
+      if (x == null || x.isNaN || x.isInfinite) b
       else {
         val v = x.doubleValue()
         val n = b.n + 1
@@ -52,16 +55,25 @@ object StatsProfiler {
 
   // ---- one-pass column profile ---------------------------------------------
 
+  /** The shared per-column stat aggregates (non-null count, HLL
+    * approx-distinct, min/max as strings) — the SINGLE source used by both
+    * [[profile]] and `TranscriptValidator.healthCheck`. A re-implemented
+    * predicate list drifted once in healthCheck (ToolRole undercount);
+    * duplicated stat definitions can drift the same way (e.g. one side
+    * changing the approx_count_distinct rsd). `alias` maps the stat key
+    * (`count`/`distinct`/`min`/`max`) to each caller's naming scheme. */
+  def colStatAggs(c: String, alias: String => String): Seq[Column] = Seq(
+    count(col(c)).as(alias("count")),
+    approx_count_distinct(col(c)).as(alias("distinct")),
+    min(col(c)).cast("string").as(alias("min")),
+    max(col(c)).cast("string").as(alias("max")))
+
   /** (column, count, nulls, null_rate, approx_distinct, min, max) — one row
     * per profiled column, computed in a single aggregate job. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"_cnt_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
-        approx_count_distinct(col(c)).as(s"_dist_$c"),
-        min(col(c)).cast("string").as(s"_min_$c"),
-        max(col(c)).cast("string").as(s"_max_$c"))
+      colStatAggs(c, k => s"_${k}_$c") :+
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c")
     }
     val total = count(lit(1)).as("_total")
     // ONE aggregate job; the single wide row is collected and re-shaped
@@ -73,9 +85,9 @@ object StatsProfiler {
     val rows = cols.map { c =>
       val nulls = r.getAs[Long](s"_null_$c")
       org.apache.spark.sql.Row(
-        c, r.getAs[Long](s"_cnt_$c"), nulls,
+        c, r.getAs[Long](s"_count_$c"), nulls,
         if (tot == 0) 0.0 else nulls.toDouble / tot,
-        r.getAs[Long](s"_dist_$c"),
+        r.getAs[Long](s"_distinct_$c"),
         r.getAs[String](s"_min_$c"), r.getAs[String](s"_max_$c"))
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -94,9 +106,22 @@ object StatsProfiler {
   // ---- histograms (drift inputs) -------------------------------------------
 
   /** Fixed-width bin id for a numeric expression: 0..nBins-1, under/overflow
-    * clamped. Same arithmetic is expressible in any SQL engine. */
-  def bin(c: Column, lo: Double, width: Double, nBins: Int): Column =
-    least(lit(nBins - 1), greatest(lit(0), floor((c - lit(lo)) / lit(width)).cast("int")))
+    * clamped; NULL and NaN inputs produce a NULL bin (which
+    * [[Drift.collect]] labels `<null>`). Two hazards this formulation
+    * avoids (r4 review findings):
+    *   - Spark's `greatest`/`least` SKIP null arguments, so clamping a
+    *     NULL directly would silently count missing values in bin 0 and
+    *     the NULL bin the drift legs align on would never appear;
+    *   - `floor` returns LongType and a non-ANSI `cast("int")` WRAPS, so
+    *     clamping after the cast would land far-out outliers in arbitrary
+    *     interior bins (2^32+5 -> bin 5) — clamp on the long FIRST.
+    * Same arithmetic is expressible in any SQL engine (guard NULL
+    * explicitly there too). */
+  def bin(c: Column, lo: Double, width: Double, nBins: Int): Column = {
+    val clamped = least(lit((nBins - 1).toLong),
+      greatest(lit(0L), floor((c - lit(lo)) / lit(width)))).cast("int")
+    when(c.isNotNull && !isnan(c.cast("double")), clamped)
+  }
 
   /** Categorical histogram, e.g. role frequencies. */
   def categoricalHistogram(df: DataFrame, c: Column): DataFrame =
@@ -113,8 +138,15 @@ object StatsProfiler {
     * the RAW table is needed and conversation sizes are Zipf-skewed
     * (SURVEY §4 skew strategy). */
   def saltedConvCounts(df: DataFrame, buckets: Int): DataFrame =
+    // salt from a row-unique source, NOT data columns: a conversation that
+    // is hot BECAUSE its rows were duplicated (ingest replay) shares
+    // (turn_idx, ts) across every copy, which would collapse all copies
+    // onto one salt and resurrect the exact straggler the salting exists
+    // to prevent. monotonically_increasing_id is nondeterministic across
+    // task retries, but the salt only routes rows — the phase-2 sum is
+    // identical for any routing.
     df.groupBy(col("conv_id"),
-        pmod(xxhash64(col("turn_idx"), col("ts")), lit(buckets)).as("_salt"))
+        pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).as("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col("conv_id"))
       .agg(sum(col("_partial")).as("n_rows"))

@@ -177,11 +177,12 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
     val fails: Seq[(String, Column)] = rowChecks.map(c => c.id -> !c.pass)
     val aggs: Seq[Column] =
       fails.map { case (id, f) => sum(when(f, 1L).otherwise(0L)).as(s"viol_$id") } ++
-      cols.flatMap { c => Seq(
-        count(col(c)).as(s"${c}_nonnull"),
-        approx_count_distinct(col(c)).as(s"${c}_distinct"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max")) }
+      // shared stat builder (StatsProfiler.colStatAggs) — never
+      // re-implemented here, same rule as the rowChecks derivation above
+      cols.flatMap { c =>
+        StatsProfiler.colStatAggs(c,
+          k => s"${c}_${if (k == "count") "nonnull" else k}")
+      }
     df.agg(count(lit(1)).as("total_rows"), aggs: _*)
   }
 
@@ -198,13 +199,23 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
         count(lit(1)).as("_n"),
         min(col("ts")).as("_min_ts"),
         max(col("ts")).as("_max_ts"),
-        first(col(cfg.partitionIdCol)).as(cfg.partitionIdCol))
+        // min, not first: under the partitioning contract every row of a
+        // conversation shares one partition_id (identical result), but
+        // when the contract is violated first() is NONDETERMINISTIC and
+        // partitionVerdicts.pass — which resumability keys off — could
+        // flip between runs
+        min(col(cfg.partitionIdCol)).as(cfg.partitionIdCol))
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     keyed.select(
       col("conv_id"), col("turn_idx"), col("_n"), col("_min_ts"), col("_max_ts"),
       col(cfg.partitionIdCol),
       lag(col("turn_idx"), 1).over(w).as("_prev_turn"),
-      lag(col("_max_ts"), 1).over(w).as("_prev_max_ts"))
+      // RUNNING max over all preceding turns, not lag: max() ignores
+      // nulls, so a turn whose ts is entirely NULL carries the last known
+      // high-water mark forward instead of resetting it — a regression
+      // that spans a null-ts turn (10:00, NULL, 09:00) must still flag
+      max(col("_max_ts")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .as("_prev_max_ts"))
   }
 
   private def gapPred: Column =
@@ -238,7 +249,7 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
       sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
       sum(when(gapPred, 1L).otherwise(0L)).as("n_gaps"),
       sum(when(tsRegressPred, 1L).otherwise(0L)).as("n_ts_regressions"),
-      first(col(cfg.partitionIdCol)).as("partition_id"))
+      min(col(cfg.partitionIdCol)).as("partition_id")) // min, not first: see seqTable
       .withColumn("gap_free",
         col("n_gaps") === 0 && col("min_turn") === 0 &&
         col("max_turn") === col("n_turns") - 1)

@@ -95,6 +95,57 @@ class StatsDriftSpec extends SparkSuite {
       "marked snapshots must round-trip a genuine 'null' string bin")
   }
 
+  test("bin(): NULL/NaN get a NULL bin; far-out values clamp instead of wrapping") {
+    import spark.implicits._
+    // r4 review regressions: Spark greatest/least SKIP nulls (a NULL input
+    // used to land in bin 0, hiding null-rate drift inside bin-0 drift),
+    // and clamp-after-int-cast wrapped 2^32+5 into interior bin 5
+    val df = Seq[Option[Double]](
+      Some(5.0), None, Some(Double.NaN), Some(4294967301.0), Some(-50.0), Some(2147483648.0))
+      .toDF("v")
+    val bins = df.select(StatsProfiler.bin(col("v"), 0, 1, 20).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else Integer.valueOf(r.getInt(0)))
+    assert(bins(0) == 5)
+    assert(bins(1) == null, "NULL input must produce a NULL bin, not bin 0")
+    assert(bins(2) == null, "NaN input must produce a NULL bin")
+    assert(bins(3) == 19, "2^32+5 must clamp to the overflow bin, not wrap to bin 5")
+    assert(bins(4) == 0, "underflow clamps to bin 0")
+    assert(bins(5) == 19, "2^31 must clamp, not wrap negative")
+    // and the NULL bin flows through to the histogram + collect as <null>
+    val h = Drift.collect(StatsProfiler.numericHistogram(df, col("v"), 0, 1, 20))
+    assert(h(Drift.NullBin) == 2L, s"NULL+NaN inputs must land in the <null> bin: $h")
+  }
+
+  test("moments aggregator skips NaN/Infinity instead of poisoning the profile") {
+    import spark.implicits._
+    val m = Seq(1.0, 2.0, Double.NaN, 3.0, Double.PositiveInfinity)
+      .toDF("v").agg(StatsProfiler.numericMoments(col("v"))).collect()(0).getStruct(0)
+    assert(m.getLong(0) == 3, "only finite values count")
+    assert(m.getDouble(1) == 2.0, s"mean over finite values, got ${m.getDouble(1)}")
+    assert(m.getDouble(3) == 1.0 && m.getDouble(4) == 3.0, "min/max unpoisoned")
+  }
+
+  test("Drift.collect bounds the driver-side histogram") {
+    import spark.implicits._
+    val wide = spark.range(200).select(col("id").cast("string").as("bin"), lit(1L).as("n"))
+    val e = intercept[IllegalArgumentException](Drift.collect(wide, maxBins = 100))
+    assert(e.getMessage.contains("100 bins"))
+    assert(Drift.collect(wide, maxBins = 200).size == 200)
+  }
+
+  test("ks(): literal 'NaN' bin label sorts deterministically; optional ksThreshold gates") {
+    // "NaN".toDouble succeeds -> IEEE NaN keys violate the sort contract
+    val a = Map("1" -> 10L, "NaN" -> 5L, "2" -> 10L, "x" -> 1L)
+    assert(Drift.ks(a, a) == 0.0) // must not throw / be order-dependent
+    // one-directional shift: decisive KS, sub-threshold PSI
+    val base = (0 until 20).map(i => i.toString -> 50L).toMap
+    val cur = (0 until 20).map(i => i.toString -> (if (i < 10) 40L else 60L)).toMap
+    val psiOnly = Drift.verdict("m", base, cur)
+    assert(!psiOnly.drifted, s"PSI-only gate stays quiet: $psiOnly")
+    val gated = Drift.verdict("m", base, cur, ksThreshold = 0.05)
+    assert(gated.drifted && gated.ks > 0.05, s"ksThreshold must gate: $gated")
+  }
+
   test("salted two-phase conv counts equal direct groupBy") {
     val data = TranscriptGen.transcripts(spark,
       TranscriptGen.GenConfig(numConvs = 200, seed = 5))

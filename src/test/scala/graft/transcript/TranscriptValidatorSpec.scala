@@ -95,6 +95,28 @@ class TranscriptValidatorSpec extends SparkSuite {
     assert(byConstraint(TsMonotone) == Seq((TsMonotone, "c7", Some(1))))
   }
 
+  test("ts regression spanning an all-null-ts turn still flags") {
+    // r4 review regression: lag(_max_ts) carried NULL through a null-ts
+    // turn, so (10:00, NULL, 09:00) reported pass — the running max must
+    // carry the last known high-water mark across null-ts turns
+    val schema = fixture.schema
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("cx", 0, "system", "s", null, ts(600)),
+      org.apache.spark.sql.Row("cx", 1, "user", "q", null, null),
+      org.apache.spark.sql.Row("cx", 2, "assistant", "a", null, ts(540)))
+    val df = spark.createDataFrame(rows, schema)
+    val v = new TranscriptValidator()
+    val seq = v.seqTable(df)
+    val flagged = v.keySequenceViolations(seq)
+      .filter(org.apache.spark.sql.functions.col("constraint_id") === TsMonotone)
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(flagged.toSeq == Seq(("cx", 2)),
+      s"turn 2 regresses below turn 0's ts across the null-ts turn 1: ${flagged.toSeq}")
+    val verdict = v.convVerdicts(seq).collect()(0)
+    assert(verdict.getAs[Long]("n_ts_regressions") == 1L)
+    assert(!verdict.getAs[Boolean]("pass"))
+  }
+
   test("referential: orphan conv_id") {
     assert(byConstraint(OrphanConv).map(_._2) == Seq("ghost"))
   }
