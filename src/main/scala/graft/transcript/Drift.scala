@@ -106,9 +106,12 @@ object Drift {
   import scala.jdk.CollectionConverters._
 
   /** Format marker written by current builds. Its absence identifies a
-    * legacy snapshot whose NULL bin carries the old "null" label. */
+    * legacy snapshot whose NULL bin carries the old "null" label; version
+    * 2 identifies snapshots whose NUMERIC histograms were produced before
+    * `StatsProfiler.bin` routed NULL/NaN to the `<null>` bin (that mass
+    * sits in bin "0" and cannot be split out retroactively). */
   private val FormatKey = "_format"
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   /** Serialize named histograms to the checked-in baseline snapshot
     * format. The `_format` marker lets the loader distinguish a genuine
@@ -141,6 +144,15 @@ object Drift {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(json)
     val legacy = !root.has(FormatKey)
+    // v2 numeric histograms binned NULL/NaN into "0" (see FormatVersion);
+    // comparing them against v3 histograms reports spurious bin-0 /
+    // <null> drift on null-bearing columns. The mass can't be migrated
+    // (real zeros and nulls are merged), so WARN — silence here is the
+    // exact no-warning spurious-drift class the marker exists to prevent.
+    if (root.has(FormatKey) && root.get(FormatKey).asInt() == 2)
+      System.err.println("warning: v2 baseline snapshot — numeric histograms " +
+        "binned NULL/NaN into bin \"0\" before v3; refresh baselines for " +
+        "null-bearing numeric columns (--write-baseline)")
     // drop ONLY the marker itself: a metric legitimately named with a
     // leading underscore must round-trip (reserved-name collisions are
     // rejected at save time instead)

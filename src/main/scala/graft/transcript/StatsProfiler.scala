@@ -15,36 +15,44 @@ object StatsProfiler {
 
   /** Mergeable moments buffer (Chan et al. parallel variance — associative
     * merge, safe for partial aggregation across executors). */
-  final case class MomentsBuf(n: Long, mean: Double, m2: Double, min: Double, max: Double)
-  final case class Moments(n: Long, mean: Double, variance: Double, min: Double, max: Double)
+  final case class MomentsBuf(n: Long, mean: Double, m2: Double, min: Double,
+                              max: Double, nonFinite: Long)
+  final case class Moments(n: Long, mean: Double, variance: Double, min: Double,
+                           max: Double, n_non_finite: Long)
 
   class NumericMomentsAgg extends Aggregator[java.lang.Double, MomentsBuf, Moments] {
-    def zero: MomentsBuf = MomentsBuf(0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
+    def zero: MomentsBuf = MomentsBuf(0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity, 0L)
     def reduce(b: MomentsBuf, x: java.lang.Double): MomentsBuf =
-      // skip non-finite like nulls: one NaN row (a 0/0 ratio upstream)
-      // would otherwise poison mean/m2/min/max for the entire profile —
-      // math.min(x, NaN) is NaN, and the merge spreads it to every buffer
-      if (x == null || x.isNaN || x.isInfinite) b
+      // non-finite values are EXCLUDED from the moments but COUNTED: one
+      // NaN row (a 0/0 ratio upstream) would otherwise poison
+      // mean/m2/min/max for the entire profile (math.min(x, NaN) is NaN
+      // and the merge spreads it to every buffer), while silently
+      // dropping them would let a column that is 99% Infinity profile as
+      // a small clean distribution — n_non_finite is the signal
+      if (x == null) b
+      else if (x.isNaN || x.isInfinite) b.copy(nonFinite = b.nonFinite + 1)
       else {
         val v = x.doubleValue()
         val n = b.n + 1
         val d = v - b.mean
         val mean = b.mean + d / n
-        MomentsBuf(n, mean, b.m2 + d * (v - mean), math.min(b.min, v), math.max(b.max, v))
+        MomentsBuf(n, mean, b.m2 + d * (v - mean), math.min(b.min, v), math.max(b.max, v), b.nonFinite)
       }
     def merge(a: MomentsBuf, b: MomentsBuf): MomentsBuf =
-      if (a.n == 0) b else if (b.n == 0) a
+      if (a.n == 0) b.copy(nonFinite = a.nonFinite + b.nonFinite)
+      else if (b.n == 0) a.copy(nonFinite = a.nonFinite + b.nonFinite)
       else {
         val n = a.n + b.n
         val d = b.mean - a.mean
         MomentsBuf(n,
           a.mean + d * b.n / n,
           a.m2 + b.m2 + d * d * a.n * b.n / n,
-          math.min(a.min, b.min), math.max(a.max, b.max))
+          math.min(a.min, b.min), math.max(a.max, b.max),
+          a.nonFinite + b.nonFinite)
       }
     def finish(b: MomentsBuf): Moments =
-      if (b.n == 0) Moments(0, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
-      else Moments(b.n, b.mean, if (b.n > 1) b.m2 / (b.n - 1) else 0.0, b.min, b.max)
+      if (b.n == 0) Moments(0, Double.NaN, Double.NaN, Double.NaN, Double.NaN, b.nonFinite)
+      else Moments(b.n, b.mean, if (b.n > 1) b.m2 / (b.n - 1) else 0.0, b.min, b.max, b.nonFinite)
     def bufferEncoder: Encoder[MomentsBuf] = Encoders.product[MomentsBuf]
     def outputEncoder: Encoder[Moments] = Encoders.product[Moments]
   }
@@ -137,17 +145,23 @@ object StatsProfiler {
     * reducers, phase 2 merges by conv_id. Use when a groupBy(conv_id) over
     * the RAW table is needed and conversation sizes are Zipf-skewed
     * (SURVEY §4 skew strategy). */
-  def saltedConvCounts(df: DataFrame, buckets: Int): DataFrame =
-    // salt from a row-unique source, NOT data columns: a conversation that
-    // is hot BECAUSE its rows were duplicated (ingest replay) shares
-    // (turn_idx, ts) across every copy, which would collapse all copies
-    // onto one salt and resurrect the exact straggler the salting exists
-    // to prevent. monotonically_increasing_id is nondeterministic across
-    // task retries, but the salt only routes rows — the phase-2 sum is
-    // identical for any routing.
-    df.groupBy(col("conv_id"),
-        pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).as("_salt"))
+  def saltedConvCounts(df: DataFrame, buckets: Int,
+                       saltSource: Option[Column] = None): DataFrame = {
+    // The salt must be RETRY-DETERMINISTIC: an indeterminate per-row value
+    // (monotonically_increasing_id, rand) as a shuffle key means a partial
+    // map-stage retry after a fetch failure can re-route rows while some
+    // reducers keep partials under the old routing — rows double-counted
+    // or dropped with no error (the SPARK-23207 hazard class). Default
+    // salt = hash of (turn_idx, ts): deterministic, spreads normal hot
+    // conversations. Its known limit: EXACT duplicate rows share the salt,
+    // so a duplication-flood hot spot collapses onto one bucket — callers
+    // with stable row identity (parquet `_metadata.row_index`, a row-id
+    // column) should pass it as `saltSource` to spread even exact dups
+    // deterministically.
+    val salt = saltSource.getOrElse(xxhash64(col("turn_idx"), col("ts")))
+    df.groupBy(col("conv_id"), pmod(xxhash64(salt), lit(buckets)).as("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col("conv_id"))
       .agg(sum(col("_partial")).as("n_rows"))
+  }
 }

@@ -210,12 +210,16 @@ class TranscriptValidator(cfg: TranscriptSuiteConfig = TranscriptSuiteConfig()) 
       col("conv_id"), col("turn_idx"), col("_n"), col("_min_ts"), col("_max_ts"),
       col(cfg.partitionIdCol),
       lag(col("turn_idx"), 1).over(w).as("_prev_turn"),
-      // RUNNING max over all preceding turns, not lag: max() ignores
-      // nulls, so a turn whose ts is entirely NULL carries the last known
-      // high-water mark forward instead of resetting it — a regression
-      // that spans a null-ts turn (10:00, NULL, 09:00) must still flag
-      max(col("_max_ts")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-        .as("_prev_max_ts"))
+      // last NON-NULL preceding _max_ts, not plain lag and not a running
+      // max: lag carried NULL through an all-null-ts turn so a regression
+      // spanning it (10:00, NULL, 09:00) passed; a running max would let
+      // ONE forward-skewed timestamp (clock skew: 2030 on turn 0) flag
+      // every later turn of the conversation, amplifying a single bad row
+      // into N-1 violation rows. "Monotone vs the last OBSERVED
+      // timestamp" catches the null-span case and keeps one bad row ≈ one
+      // violation.
+      last(col("_max_ts"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)).as("_prev_max_ts"))
   }
 
   private def gapPred: Column =

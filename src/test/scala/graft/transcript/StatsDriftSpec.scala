@@ -116,13 +116,16 @@ class StatsDriftSpec extends SparkSuite {
     assert(h(Drift.NullBin) == 2L, s"NULL+NaN inputs must land in the <null> bin: $h")
   }
 
-  test("moments aggregator skips NaN/Infinity instead of poisoning the profile") {
+  test("moments aggregator excludes-and-counts NaN/Infinity instead of poisoning the profile") {
     import spark.implicits._
     val m = Seq(1.0, 2.0, Double.NaN, 3.0, Double.PositiveInfinity)
       .toDF("v").agg(StatsProfiler.numericMoments(col("v"))).collect()(0).getStruct(0)
-    assert(m.getLong(0) == 3, "only finite values count")
+    assert(m.getLong(0) == 3, "only finite values enter the moments")
     assert(m.getDouble(1) == 2.0, s"mean over finite values, got ${m.getDouble(1)}")
     assert(m.getDouble(3) == 1.0 && m.getDouble(4) == 3.0, "min/max unpoisoned")
+    // excluded mass is SURFACED, not silently dropped — a 99%-Infinity
+    // column must not profile as a small clean distribution
+    assert(m.getLong(5) == 2, s"NaN + Infinity must be counted: ${m.getLong(5)}")
   }
 
   test("Drift.collect bounds the driver-side histogram") {

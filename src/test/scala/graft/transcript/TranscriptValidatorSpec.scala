@@ -117,6 +117,25 @@ class TranscriptValidatorSpec extends SparkSuite {
     assert(!verdict.getAs[Boolean]("pass"))
   }
 
+  test("one forward-skewed ts flags one turn, not the whole conversation") {
+    // "last OBSERVED ts" semantics, not a running max: a single clock-skew
+    // row (turn 0 in 2030) must not cascade into N-1 violation rows
+    val schema = fixture.schema
+    val far = new Timestamp(ts(0).getTime + 125L * 365 * 24 * 3600 * 1000)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("cs", 0, "system", "s", null, far),
+      org.apache.spark.sql.Row("cs", 1, "user", "q", null, ts(60)),
+      org.apache.spark.sql.Row("cs", 2, "assistant", "a", null, ts(120)),
+      org.apache.spark.sql.Row("cs", 3, "user", "q", null, ts(180)))
+    val df = spark.createDataFrame(rows, schema)
+    val v = new TranscriptValidator()
+    val flagged = v.keySequenceViolations(v.seqTable(df))
+      .filter(org.apache.spark.sql.functions.col("constraint_id") === TsMonotone)
+      .collect().map(_.getInt(2)).toSeq
+    assert(flagged == Seq(1),
+      s"only the first turn after the skewed row regresses vs its last observed ts: $flagged")
+  }
+
   test("referential: orphan conv_id") {
     assert(byConstraint(OrphanConv).map(_._2) == Seq("ghost"))
   }
