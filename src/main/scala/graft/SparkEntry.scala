@@ -477,9 +477,16 @@ object SparkEntry {
         | event_type || '!' AS etype_bang,
         | regexp_matches(event_type, 's.g') AS etype_re,
         | CAST(value AS VARCHAR) AS value_str,
-        | (value > 50 AND value <= 150) OR event_id < 10 AS band_or_early,
-        | props IS NULL AS props_na,
-        | NOT (props IS NOT NULL) AS props_not_def,
+        | -- reference logical semantics (verified empirically): an absent
+        | -- (null) operand coerces to FALSE; the result is null only when
+        | -- BOTH operands are (event_id is never null, so never here)
+        | COALESCE(CASE WHEN value IS NULL THEN NULL
+        |               ELSE value > 50 AND value <= 150 END, FALSE)
+        |   OR event_id < 10 AS band_or_early,
+        | -- na/def see only PRESENT values (reference dropna): null rows
+        | -- stay absent (NULL), present rows are false/true
+        | CASE WHEN props IS NOT NULL THEN FALSE END AS props_na,
+        | CASE WHEN props IS NOT NULL THEN FALSE END AS props_not_def,
         | ((value - 1) * 2) / 4 AS arith_chain,
         | value != 9.64 AS ne_lit,
         | event_id >= 500 OR event_id = 500 AS ge_eq

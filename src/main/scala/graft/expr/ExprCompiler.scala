@@ -12,11 +12,29 @@ import graft.schema.{Cmd, Op}
   * whole-stage-codegen'd by Catalyst. No data moves, no index alignment is
   * needed (the pandas outer-merge machinery of `vm.py:22-45` disappears).
   *
-  * Null semantics: Spark's 3-valued logic propagates nulls through every
-  * operator below, matching the reference's behavior of dropping NA rows
-  * before evaluation (`vm.py:57-60`) *when the caller treats a null verdict
-  * as a vacuous pass* — see [[graft.validate.Validator]], which wraps
-  * assertion predicates in `coalesce(p, true)`.
+  * Null semantics — verified EMPIRICALLY against the reference VM on
+  * null-bearing inputs (r4 sweep), not just by reading it. The reference
+  * drops null/NaN values at column load (`vm.py:57-60` explode().dropna())
+  * and at every stack push/pop (`vm.py:22-29`), so a row whose value is
+  * missing is ABSENT from evaluation. Spark NULL models "absent":
+  *   - comparisons/arithmetic/string ops: Spark null propagation = absent
+  *     stays absent (identical);
+  *   - NA/DEF see only PRESENT values (always false/true respectively) and
+  *     stay absent on absent input — `isNull`/`isNotNull` alone would
+  *     return a NON-null verdict on a null row and fire violations the
+  *     reference can never produce;
+  *   - AND/OR: pandas logical ops treat an absent (NaN-aligned) operand as
+  *     FALSE, and the row is absent only when BOTH operands are absent —
+  *     NOT Spark's Kleene 3VL (`null && true` is null in Spark but False
+  *     in the reference; `null || true` is true in Spark but... also
+  *     FALSE-coerced there: `coalesce(a,false) || coalesce(b,false)`).
+  * Callers treat a null verdict as a vacuous pass
+  * ([[graft.validate.Validator]] wraps predicates in `coalesce(p, true)`).
+  *
+  * Conscious deviation: comparing two COLUMNS with different null patterns
+  * CRASHES the reference ("Can only compare identically-labeled Series"
+  * — stack-vs-stack binop after pop-side dropna); here the null rows are
+  * simply vacuous. Strictly more useful, never less correct.
   */
 object ExprCompiler {
 
@@ -40,10 +58,16 @@ object ExprCompiler {
     }
   }
 
-  /** Literal inline arg → Column. */
+  /** Literal inline arg → Column. DSL NUMBER literals arrive as Double
+    * (KyeParser mirrors kyepy parser.py:123-124, which parses them as
+    * Python floats); integral values only reach here from hand-written
+    * ARTIFACTS, where the reference keeps Python ints exact (int64 ops in
+    * pandas) — so Long/Int stay exact lits. Converting them to double
+    * would silently round inline integers above 2^53 (a 9007199254740993
+    * literal would equal a ...992 column value). */
   private def litArg(a: Any): Column = a match {
-    case i: Int    => lit(i.toDouble) // reference NUMBER literals are floats (kyepy parser.py:123-124)
-    case l: Long   => lit(l.toDouble)
+    case i: Int    => lit(i)
+    case l: Long   => lit(l)
     case d: Double => lit(d)
     case s: String => lit(s)
     case b: Boolean => lit(b)
@@ -74,15 +98,27 @@ object ExprCompiler {
           case "str"   => src.try_cast("string")
           case t       => throw new IllegalArgumentException(s"Unsupported cast target '$t'")
         }
-      case (NA, _, _)  => operands.head.isNull
-      case (DEF, _, _) => operands.head.isNotNull
+      // NA/DEF evaluate over PRESENT values only (reference column loads
+      // dropna first): absent input stays absent (NULL verdict -> vacuous
+      // pass), so na(x)/def(x) can never fire a violation on a null row —
+      // exactly the reference, where such rows are missing from the series
+      case (NA, _, _)  => { val e = operands.head; when(e.isNotNull, e.isNull) }
+      case (DEF, _, _) => { val e = operands.head; when(e.isNotNull, lit(true)) }
       case (NOT, _, _) => !operands.head
       case (NEG, _, _) => negate(operands.head)
       case (LEN, _, _) => length(operands.head)
       case (NE, _, _)  => binop(cmd, stackArgs)(_ =!= _)
       case (EQ, _, _)  => binop(cmd, stackArgs)(_ === _)
-      case (OR, _, _)  => binop(cmd, stackArgs)(_ || _)
-      case (AND, _, _) => binop(cmd, stackArgs)(_ && _)
+      // pandas logical ops coerce an absent operand to FALSE and the row
+      // is absent only when BOTH sides are (verified empirically against
+      // the reference VM) — NOT Spark Kleene 3VL, where null&&true=null
+      // and null||true=true
+      case (OR, _, _)  => binop(cmd, stackArgs)((a, b) =>
+        when(a.isNull && b.isNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(a, lit(false)) || coalesce(b, lit(false))))
+      case (AND, _, _) => binop(cmd, stackArgs)((a, b) =>
+        when(a.isNull && b.isNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(a, lit(false)) && coalesce(b, lit(false))))
       case (LT, _, _)  => binop(cmd, stackArgs)(_ < _)
       case (GT, _, _)  => binop(cmd, stackArgs)(_ > _)
       case (LE, _, _)  => binop(cmd, stackArgs)(_ <= _)

@@ -29,9 +29,12 @@ import scala.collection.mutable.ListBuffer
   *   overflow keep their (truncated, sorted-ascending) array in the
   *   survivors and additionally report a `TruncatedValues` violation row
   *   per member. Cardinality verdicts (missing / multiple) are exact at
-  *   any cap ≥ 1. Matches the reference bit-for-bit whenever every group
-  *   holds ≤ cap distinct values (all fixtures do, by orders of
-  *   magnitude).
+  *   any cap ≥ 1. Verdicts and survivor value SETS match the reference
+  *   whenever every group holds ≤ cap distinct values (all fixtures do,
+  *   by orders of magnitude); many-edge survivor arrays are sorted
+  *   ascending for distributed determinism, whereas the reference's
+  *   pandas `unique` keeps first-appearance order — element ORDER is a
+  *   documented deviation, not a bit-for-bit match.
   */
 final case class ValidatorConfig(
     strictReferenceParity: Boolean = false,
@@ -153,7 +156,44 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       else a.edges.forall(dataCols.contains)
     }
     if (applicable.nonEmpty) {
-      val rawPreds = applicable.map(a => a -> ExprCompiler.compile(a.expr))
+      // NaN behaves like NULL at column load (reference explode().dropna()
+      // drops BOTH; verified empirically: a NaN-valued row is absent from
+      // assertion evaluation — vacuous pass, never a reported violation)
+      def nanRef(d: DataFrame)(name: String): Column = d.schema(name).dataType match {
+        case DoubleType | FloatType =>
+          when(isnan(col(name)), lit(null)).otherwise(col(name))
+        case _ => col(name)
+      }
+      // Array-typed (many-cardinality) edges: the reference explodes and
+      // evaluates PER ELEMENT — a row fails if any non-null element
+      // strictly fails, and is vacuous when no element evaluates. Only
+      // single-edge assertions can reference an array column this way
+      // (every COL in the program IS the edge); the reference itself runs
+      // ONLY single-edge assertions (loader.py:120-121).
+      def assertionPred(a: graft.schema.Assertion): Column =
+        a.edges match {
+          case Seq(edge) if df.schema(edge).dataType.isInstanceOf[ArrayType] =>
+            val elemType = df.schema(edge).dataType.asInstanceOf[ArrayType].elementType
+            def elemRef(e: Column): String => Column = _ => elemType match {
+              case DoubleType | FloatType => when(isnan(e), lit(null)).otherwise(e)
+              case _ => e
+            }
+            def perElem(e: Column): Column = ExprCompiler.compile(a.expr, elemRef(e))
+            val arr = col(edge)
+            val anyFail = exists(arr, e => !coalesce(perElem(e), lit(true)))
+            val anyEval = exists(arr, e => perElem(e).isNotNull)
+            // null array / empty / all-null elements -> NULL (vacuous)
+            when(arr.isNotNull && coalesce(anyEval, lit(false)), !anyFail)
+          case edges =>
+            edges.find(e => df.schema(e).dataType.isInstanceOf[ArrayType]).foreach { e =>
+              throw new UnsupportedOperationException(
+                s"assertion '${a.msg}' references array-typed edge '$e' together with " +
+                  "other edges — multi-edge assertions over many-valued columns are " +
+                  "not supported (the reference runs single-edge assertions only)")
+            }
+            ExprCompiler.compile(a.expr, nanRef(df))
+        }
+      val rawPreds = applicable.map(a => a -> assertionPred(a))
       // null verdict = vacuous pass for violation reporting (see class doc)
       for ((a, p) <- rawPreds) {
         // a zero-edge (constant) assertion still yields one violation row
@@ -200,7 +240,12 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       val fullKey = keyStruct(model.index)
       val badRowSets = ListBuffer.empty[DataFrame]
       for (subIdx <- model.indexes) {
-        val tagged = df.withColumn("_sk", keyStruct(subIdx))
+        // NaN sub-keys behave like null ones: pandas groupby drops the NaN
+        // label (no verdict), and the plain equi-join back then misses the
+        // null key — without the mapping, Spark groups NaN AND matches it
+        // in the join (NaN = NaN in joins), emitting NonUniqueSubIndex
+        // rows the reference never produces
+        val tagged = df.withColumn("_sk", keyStructNanSafe(df, subIdx))
         val badKeys = tagged.groupBy(col("_sk"))
           .agg(countDistinct(fullKey).as("_n")).filter(col("_n") > 1).select("_sk")
         val badRows = tagged.join(badKeys, "_sk").select(col(rowId))
@@ -218,7 +263,8 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     }
 
     // ---- S6: cardinality verdicts + group-by-key (one shuffle) ------------
-    val key = keyStruct(model.index)
+    // NaN index components behave like null ones (see nanSafeCol)
+    val key = keyStructNanSafe(df, model.index)
     // Scalar single-valued edges avoid any per-group set materialization:
     // "multiple distinct values" ⟺ min != max, "missing" ⟺ count == 0,
     // grouped value = min — bounded memory under hot keys (SURVEY §4
@@ -244,13 +290,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     // (loader.py:155-159), so NaN must not count as a distinct value, win
     // a min/max, or survive into grouped values — map it to NULL before
     // aggregating (Spark aggregates then skip it like the reference's drop)
-    def nanSafe(c: String): Column = df.schema(c).dataType match {
-      case DoubleType | FloatType =>
-        when(isnan(col(c)), lit(null)).otherwise(col(c))
-      case ArrayType(DoubleType | FloatType, _) =>
-        filter(col(c), x => !isnan(x))
-      case _ => col(c)
-    }
+    def nanSafe(c: String): Column = nanSafeCol(df, c)
     val aggExprs = ListBuffer.empty[Column]
     for (c <- dataCols) modes(c) match {
       case ArrayOf | SetOf =>
@@ -271,30 +311,40 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     // (= min for scalars) is. Groups where it matters (>1 distinct on a
     // single-valued edge) are dropped as MultipleValues anyway, so
     // survivors are unaffected.
+    // Reference semantics for a NULL single-column index key: pandas
+    // groupby(level=0) DROPS the NaN label, then reindex(fill_value=0)
+    // reports nunique = 0 for EVERY edge — so the null-keyed group yields
+    // MissingValue for each non-none edge (never MultipleValues, whatever
+    // its real values) and, if it survives (all edges none=true), its
+    // grouped values are null. Multi-column indexes are tuple labels in
+    // the reference and are NOT dropped — real counts apply.
+    val nullKeyGroup: Column =
+      if (model.index.size == 1) col("_key").isNull else lit(false)
     val groupedCols: Seq[Column] =
       Seq(col("_key")) ++
         dataCols.map { c =>
           val e = model.edge(c)
-          modes(c) match {
-            case Scalar => col(s"_min_$c").as(c)
+          val raw = modes(c) match {
+            case Scalar => col(s"_min_$c")
             case _ =>
               // already sorted ascending by the aggregate; drop the +1
               // truncation sentinel from many-edge survivor arrays
               val vals = col(s"_vals_$c")
               // `get` (not getItem) tolerates the empty group under ANSI
-              val out = if (e.many) slice(vals, 1, cap) else get(vals, lit(0))
-              out.as(c)
+              if (e.many) slice(vals, 1, cap) else get(vals, lit(0))
           }
+          when(nullKeyGroup, lit(null)).otherwise(raw).as(c)
         } ++
         dataCols.map { c =>
-          modes(c) match {
+          val raw = modes(c) match {
             case Scalar =>
               // 0 when empty, 1 when single distinct, 2 as "more than one"
               when(col(s"_cnt_$c") === 0, 0)
                 .when(col(s"_min_$c") === col(s"_max_$c"), 1)
-                .otherwise(2).as(s"_n_$c")
-            case _ => size(col(s"_vals_$c")).as(s"_n_$c")
+                .otherwise(2)
+            case _ => size(col(s"_vals_$c"))
           }
+          when(nullKeyGroup, 0).otherwise(raw).as(s"_n_$c")
         }
     val grouped = cached(grouped0.select(groupedCols: _*))
 
@@ -353,11 +403,20 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         // raw; numeric/numeric pairs widen to double (a long 1 must
         // conflict with a double 1.0, like the reference's pandas compare,
         // loader.py:177-196); anything else is genuinely incomparable
+        // NaN key values behave like null: pandas t.groupby(level=0)
+        // drops the NaN label, so conflicts "at NaN" are never flagged —
+        // Spark would both group NaN and match it in the join-back
+        def nanNull(c: Column, t: DataType): Column = t match {
+          case DoubleType | FloatType => when(isnan(c), lit(null)).otherwise(c)
+          case _ => c
+        }
         val fieldPlans = idx1.zip(idx2).map { case (a, b) =>
           (gdf.schema(a).dataType, gdf.schema(b).dataType) match {
-            case (ta, tb) if ta == tb => Some((col(a), col(b)))
+            case (ta, tb) if ta == tb =>
+              Some((nanNull(col(a), ta), nanNull(col(b), tb)))
             case (_: NumericType, _: NumericType) =>
-              Some((col(a).cast("double"), col(b).cast("double")))
+              Some((nanNull(col(a).cast("double"), DoubleType),
+                nanNull(col(b).cast("double"), DoubleType)))
             case _ => None
           }
         }
@@ -494,6 +553,24 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     * `loader.py:17-20`), positional-named struct for composites (collision
     * safe — never string concat). */
   private def keyStruct(cols: Seq[String]): Column = keyCols(cols.map(col))
+
+  /** NaN → NULL for float/double columns (elementwise for arrays) —
+    * pandas `dropna`/groupby drop NaN exactly like null, so NaN must
+    * never form its own Spark group, match itself in a join-back
+    * (Spark joins treat NaN = NaN, unlike null), count as distinct, or
+    * win a min/max. */
+  private def nanSafeCol(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case DoubleType | FloatType =>
+      when(isnan(col(c)), lit(null)).otherwise(col(c))
+    case ArrayType(DoubleType | FloatType, _) =>
+      filter(col(c), x => !isnan(x))
+    case _ => col(c)
+  }
+
+  /** Key struct over NaN-mapped columns: a NaN key component behaves like
+    * a null one (reference groupby label semantics). */
+  private def keyStructNanSafe(df: DataFrame, cols: Seq[String]): Column =
+    keyCols(cols.map(nanSafeCol(df, _)))
 
   private def keyCols(cols: Seq[Column]): Column =
     if (cols.size == 1) cols.head

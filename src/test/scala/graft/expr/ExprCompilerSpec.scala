@@ -46,13 +46,48 @@ class ExprCompilerSpec extends SparkSuite {
     assert(evalD(List(Cmd.one(COL, "s"), Cmd.one(MATCHES, "a+"))) == Seq(true, true, false))
   }
 
-  test("null ops") {
+  test("null ops: NA/DEF evaluate over PRESENT values only (reference dropna)") {
+    // verified EMPIRICALLY against the reference VM (r4 sweep): column
+    // loads dropna first, so na(x)/def(x) never see a null row — that row
+    // is ABSENT (here: NULL verdict -> vacuous pass), and na(x) can never
+    // fire a violation. The old isNull/isNotNull compile returned non-null
+    // verdicts on null rows the reference never evaluates.
     import spark.implicits._
     val d = Seq(Some(1.0), None).toDF("x")
     val na = d.select(ExprCompiler.compile(List(Cmd.one(COL, "x"), Cmd(NA)))).collect().map(_.get(0)).toSeq
     val de = d.select(ExprCompiler.compile(List(Cmd.one(COL, "x"), Cmd(DEF)))).collect().map(_.get(0)).toSeq
-    assert(na == Seq(false, true))
-    assert(de == Seq(true, false))
+    assert(na == Seq(false, null), s"na: present->false, absent->absent, got $na")
+    assert(de == Seq(true, null), s"def: present->true, absent->absent, got $de")
+  }
+
+  test("AND/OR coerce an absent operand to false; absent only when both absent") {
+    // reference (pandas logical ops): NaN-aligned operand acts as False —
+    // NOT Spark Kleene 3VL (null&&true=null, null||true=true). Verified
+    // empirically: (x>5)&def(y) on (x=null,y=5) is False (a REPORTED
+    // violation), not vacuous; on (null,null) the row is absent.
+    import spark.implicits._
+    val d = Seq((Some(3.0), Some(5.0)), (None, Some(5.0)), (Some(7.0), Some(9.0)),
+      (None, None), (Some(200.0), Some(1.0))).toDF("x", "y")
+    val andP = ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd.one(GT, 5.0),
+      Cmd.one(COL, "y"), Cmd(DEF), Cmd(AND)))
+    assert(d.select(andP).collect().map(_.get(0)).toSeq ==
+      Seq(false, false, true, null, true))
+    val orP = ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd(NA),
+      Cmd.one(COL, "y"), Cmd.one(GT, 5.0), Cmd(OR)))
+    assert(d.select(orP).collect().map(_.get(0)).toSeq ==
+      Seq(false, false, true, null, false))
+  }
+
+  test("integral inline literals stay exact above 2^53") {
+    import spark.implicits._
+    val big = 9007199254740993L // 2^53 + 1: rounds to ...992 as a double
+    val d = Seq(big, big - 1).toDF("id")
+    val eq = d.select(ExprCompiler.compile(List(Cmd.one(COL, "id"), Cmd(EQ, List(big)))))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(eq == Seq(true, false),
+      s"artifact int literals must compare exactly (reference int64), got $eq")
   }
 
   test("cast: string->float and float->str") {

@@ -34,6 +34,103 @@ class ValidatorEdgeCaseSpec extends SparkSuite {
     assert(result.survivors.get.count() === 1)
   }
 
+  test("S6: NULL-keyed group reports MissingValue for EVERY edge, never MultipleValues") {
+    // reference reindex-to-0 semantics (loader.py:157-169): the NaN index
+    // label is dropped by groupby, so every edge's nunique reads 0 for
+    // that group — even an edge holding two real values reports
+    // MissingValue, not MultipleValues
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"index": "id", "edges": {
+        |  "id": {"type": "Number"}, "v": {"type": "String"}}}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("id", DoubleType), StructField("v", StringType),
+        StructField("_row", LongType, nullable = false))),
+      Seq(Row(1.0, "a", 0L), Row(null, "x", 1L), Row(null, "y", 2L)))
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val errs = result.violations.collect()
+      .map(r => (r.getAs[String]("err"), r.getAs[String]("col"), r.getAs[Long]("row")))
+    assert(errs.count(e => e._1 == "MissingValue" && e._2 == "v") == 2,
+      s"the null-keyed group's v edge must read MissingValue: ${errs.toSeq}")
+    assert(!errs.exists(_._1 == "MultipleValues"),
+      s"real values under a null key must NOT count as multiple: ${errs.toSeq}")
+  }
+
+  test("S4: NaN values are absent from assertion evaluation (vacuous, like the reference dropna)") {
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"index": "id", "edges": {
+        |  "id": {"type": "Number"}, "score": {"type": "Number", "none": true}},
+        |  "assertions": [{"msg": "score <= 100",
+        |    "expr": [{"col": "score"}, {"le": 100}]}]}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("id", LongType), StructField("score", DoubleType),
+        StructField("_row", LongType, nullable = false))),
+      Seq(Row(1L, 50.0, 0L), Row(2L, Double.NaN, 1L), Row(3L, 200.0, 2L)))
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val rows = result.violations.filter("err = 'AssertionFailed'")
+      .collect().map(_.getAs[Long]("row")).toSet
+    assert(rows == Set(2L),
+      s"only the strict failure fires — Spark NaN<=100=false must NOT become a violation: $rows")
+    assert(result.survivors.get.collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L),
+      "the NaN row is vacuous and survives; the strict failure is dropped")
+  }
+
+  test("S4: single-edge assertion over an array column evaluates per element") {
+    // reference explode().dropna() semantics: a row fails if ANY non-null
+    // element strictly fails; all-null/empty arrays are vacuous
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"index": "id", "edges": {
+        |  "id": {"type": "Number"},
+        |  "tags": {"type": "String", "many": true, "none": true}},
+        |  "assertions": [{"msg": "tags match ^t",
+        |    "expr": [{"col": "tags"}, {"matches": "^t"}]}]}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("tags", ArrayType(StringType)),
+        StructField("_row", LongType, nullable = false))),
+      Seq(
+        Row(1L, Seq("ta", "tb"), 0L),          // all match -> pass
+        Row(2L, Seq("ta", "x"), 1L),           // one fails -> violation
+        Row(3L, Seq(null, "tc"), 2L),          // null element dropped -> pass
+        Row(4L, Seq(), 3L),                    // empty -> vacuous
+        Row(5L, null, 4L)))                    // null array -> vacuous
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val fails = result.violations.filter("err = 'AssertionFailed'")
+      .collect().map(_.getAs[Long]("row")).toSet
+    assert(fails == Set(1L), s"only the row with a strictly-failing element fires: $fails")
+    assert(result.survivors.get.collect().map(_.getAs[Long]("id")).toSet ==
+      Set(1L, 3L, 4L, 5L))
+  }
+
+  test("S5: NaN sub-keys drop like the reference groupby — no NonUniqueSubIndex") {
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"indexes": [["id"], ["sk"]], "edges": {
+        |  "id": {"type": "Number"}, "sk": {"type": "Number"}}}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("id", LongType), StructField("sk", DoubleType),
+        StructField("_row", LongType, nullable = false))),
+      // two distinct full keys share sk=NaN: pandas groupby drops the NaN
+      // label, so the reference reports nothing; Spark would group NaN
+      // AND match it in the join-back without the nanSafe mapping
+      Seq(Row(1L, Double.NaN, 0L), Row(2L, Double.NaN, 1L), Row(3L, 5.0, 2L)))
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val subIdx = result.violations.filter("err = 'NonUniqueSubIndex'").count()
+    assert(subIdx == 0, "NaN sub-keys must not be flagged")
+    // the NaN rows still drop — but through S6 MissingValue (sk reads as
+    // absent, exactly the reference's dropna->nunique=0), never through a
+    // spurious sub-index verdict
+    val missing = result.violations.filter("err = 'MissingValue' AND col = 'sk'").count()
+    assert(missing == 2, "NaN sk reads as missing, like the reference")
+    assert(result.survivors.get.count() == 1)
+  }
+
   test("S7: long vs double alternate keys conflict on 2 == 2.0") {
     val schema = CompiledSchema.load(
       """{"models": {"M": {"indexes": ["k1", "k2"], "edges": {
