@@ -504,7 +504,7 @@ object SparkEntry {
       "SELECT event_id, event_type FROM events",
     "q_kye_subindex" ->
       """WITH t AS (SELECT event_id, event_id % 500 AS dup_key FROM events),
-        | bad AS (SELECT dup_key FROM t GROUP BY dup_key HAVING count(DISTINCT event_id) > 1)
+        | bad AS (SELECT dup_key FROM t GROUP BY dup_key HAVING count(DISTINCT event_id) <> 1)
         |SELECT 'NonUniqueSubIndex' AS err, event_id AS row_id, 'dup_key' AS col_name
         |FROM t JOIN bad USING (dup_key)""".stripMargin,
     "q_kye_index_conflict" ->

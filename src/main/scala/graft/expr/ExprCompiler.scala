@@ -38,9 +38,26 @@ import graft.schema.{Cmd, Op}
   */
 object ExprCompiler {
 
+  /** NaN → NULL for a numeric Column — the single shared "NaN is missing"
+    * mapping (pandas treats NaN exactly like null; Spark treats it as a
+    * value that compares greater than everything, groups with itself, and
+    * matches itself in joins). Apply only to float/double-typed inputs —
+    * `isnan` rejects non-numeric types at analysis. */
+  def nanToNull(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+
   /** Compile a program to a row-scalar Column. `colRef` resolves COL names
-    * (lets callers redirect to renamed/cast columns). */
-  def compile(expr: Seq[Cmd], colRef: String => Column = col(_)): Column = {
+    * (lets callers redirect to renamed/cast columns).
+    *
+    * @param nanAbsent reference-assertion semantics: the VM drops NaN at
+    *   EVERY stack push/pop (vm.py:22-29), so NaN produced MID-expression
+    *   (a float cast of "NaN", Infinity*0) makes the row absent — wrap
+    *   arithmetic and float-cast outputs in [[nanToNull]]. Off by default:
+    *   the S3 cast path must NOT count a parsed NaN as a cast failure in
+    *   its null-delta guard (the reference stores it as a NaN value whose
+    *   missing-ness downstream stages apply themselves), and plain
+    *   expression evaluation (q_expr_opcodes) keeps raw Spark arithmetic. */
+  def compile(expr: Seq[Cmd], colRef: String => Column = col(_),
+              nanAbsent: Boolean = false): Column = {
     var stack: List[Column] = Nil
 
     def pop(): Column = stack match {
@@ -50,13 +67,24 @@ object ExprCompiler {
 
     for (cmd <- expr) {
       val stackArgs = List.fill(cmd.numStackArgs)(pop()).reverse
-      stack = eval(cmd, stackArgs, colRef) :: stack
+      val out = eval(cmd, stackArgs, colRef)
+      val guarded =
+        if (nanAbsent && NanProducingOps(cmd.op) &&
+            !(cmd.op == Op.CAST && cmd.args.lastOption.contains("str")))
+          nanToNull(out)
+        else out
+      stack = guarded :: stack
     }
     stack match {
       case res :: Nil => res
       case s          => throw new IllegalStateException(s"Program left ${s.size} values on stack")
     }
   }
+
+  /** Ops whose output can be NaN when inputs are NaN-free: float casts and
+    * float arithmetic (0/0, Inf*0, Inf-Inf, parsed "NaN"). */
+  private val NanProducingOps: Set[Op] =
+    Set(Op.CAST, Op.ADD, Op.SUB, Op.MUL, Op.DIV, Op.MOD, Op.NEG)
 
   /** Literal inline arg → Column. DSL NUMBER literals arrive as Double
     * (KyeParser mirrors kyepy parser.py:123-124, which parses them as

@@ -157,33 +157,37 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     }
     if (applicable.nonEmpty) {
       // NaN behaves like NULL at column load (reference explode().dropna()
-      // drops BOTH; verified empirically: a NaN-valued row is absent from
-      // assertion evaluation — vacuous pass, never a reported violation)
-      def nanRef(d: DataFrame)(name: String): Column = d.schema(name).dataType match {
-        case DoubleType | FloatType =>
-          when(isnan(col(name)), lit(null)).otherwise(col(name))
-        case _ => col(name)
-      }
+      // drops BOTH), and `nanAbsent` extends that to NaN produced
+      // MID-expression — the reference drops NaN at every stack push/pop,
+      // so a float cast of "NaN" or an Infinity*0 makes the row absent
+      import graft.expr.ExprCompiler.nanToNull
+      def nanRef(name: String): Column = nanSafeCol(df, name)
       // Array-typed (many-cardinality) edges: the reference explodes and
-      // evaluates PER ELEMENT — a row fails if any non-null element
-      // strictly fails, and is vacuous when no element evaluates. Only
-      // single-edge assertions can reference an array column this way
-      // (every COL in the program IS the edge); the reference itself runs
-      // ONLY single-edge assertions (loader.py:120-121).
-      def assertionPred(a: graft.schema.Assertion): Column =
+      // evaluates PER ELEMENT — one violation entry per strictly-failing
+      // non-null element (result[~result] carries duplicate row labels),
+      // the row is dropped if any element fails, and it is vacuous when no
+      // element evaluates. Only single-edge assertions can reference an
+      // array column this way (every COL in the program IS the edge); the
+      // reference itself runs ONLY single-edge assertions
+      // (loader.py:120-121).
+      final case class Compiled(pred: Column, failElems: Option[Column])
+      def compileAssertion(a: graft.schema.Assertion): Compiled =
         a.edges match {
           case Seq(edge) if df.schema(edge).dataType.isInstanceOf[ArrayType] =>
             val elemType = df.schema(edge).dataType.asInstanceOf[ArrayType].elementType
             def elemRef(e: Column): String => Column = _ => elemType match {
-              case DoubleType | FloatType => when(isnan(e), lit(null)).otherwise(e)
+              case DoubleType | FloatType => nanToNull(e)
               case _ => e
             }
-            def perElem(e: Column): Column = ExprCompiler.compile(a.expr, elemRef(e))
+            def perElem(e: Column): Column =
+              ExprCompiler.compile(a.expr, elemRef(e), nanAbsent = true)
             val arr = col(edge)
-            val anyFail = exists(arr, e => !coalesce(perElem(e), lit(true)))
+            val fails = filter(arr, e => !coalesce(perElem(e), lit(true)))
             val anyEval = exists(arr, e => perElem(e).isNotNull)
             // null array / empty / all-null elements -> NULL (vacuous)
-            when(arr.isNotNull && coalesce(anyEval, lit(false)), !anyFail)
+            Compiled(
+              when(arr.isNotNull && coalesce(anyEval, lit(false)), size(fails) === 0),
+              Some(fails))
           case edges =>
             edges.find(e => df.schema(e).dataType.isInstanceOf[ArrayType]).foreach { e =>
               throw new UnsupportedOperationException(
@@ -191,23 +195,39 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
                   "other edges — multi-edge assertions over many-valued columns are " +
                   "not supported (the reference runs single-edge assertions only)")
             }
-            ExprCompiler.compile(a.expr, nanRef(df))
+            Compiled(ExprCompiler.compile(a.expr, nanRef, nanAbsent = true), None)
         }
-      val rawPreds = applicable.map(a => a -> assertionPred(a))
+      val compiled = applicable.map(a => a -> compileAssertion(a))
+      val rawPreds = compiled.map { case (a, c) => a -> c.pred }
       // null verdict = vacuous pass for violation reporting (see class doc)
-      for ((a, p) <- rawPreds) {
+      for ((a, c) <- compiled) {
         // a zero-edge (constant) assertion still yields one violation row
         // per failing row — explode over the empty edge list would silently
-        // swallow it
-        val colOut =
-          if (a.edges.isEmpty) lit(null).cast(StringType).as("col")
-          else explode(array(a.edges.map(lit(_)): _*)).as("col")
-        violations += df.filter(!coalesce(p, lit(true))).select(
-          lit("AssertionFailed").as("err"), lit(model.name).as("model"),
-          col(rowId).cast(LongType).as("row"),
-          colOut,
-          lit(a.loc.orNull).cast(StringType).as("loc"),
-          lit(a.msg).as("expected"))
+        // swallow it. Array-edge assertions report one row per FAILING
+        // ELEMENT (explode over the failing slice), matching the
+        // reference's duplicate row labels in result[~result].
+        val base = df.filter(!coalesce(c.pred, lit(true)))
+        violations += (c.failElems match {
+          case Some(fe) =>
+            base.select(
+              lit("AssertionFailed").as("err"), lit(model.name).as("model"),
+              col(rowId).cast(LongType).as("row"),
+              explode(fe).as("_fe"),
+              lit(a.loc.orNull).cast(StringType).as("loc"),
+              lit(a.msg).as("expected"))
+              .select(col("err"), col("model"), col("row"),
+                lit(a.edges.head).as("col"), col("loc"), col("expected"))
+          case None =>
+            val colOut =
+              if (a.edges.isEmpty) lit(null).cast(StringType).as("col")
+              else explode(array(a.edges.map(lit(_)): _*)).as("col")
+            base.select(
+              lit("AssertionFailed").as("err"), lit(model.name).as("model"),
+              col(rowId).cast(LongType).as("row"),
+              colOut,
+              lit(a.loc.orNull).cast(StringType).as("loc"),
+              lit(a.msg).as("expected"))
+        })
       }
       var parityAssertionFired = false
       val survivorPreds: Seq[Column] =
@@ -237,7 +257,11 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
 
     // ---- S5: sub-index functional dependency ------------------------------
     if (model.indexes.size > 1) {
-      val fullKey = keyStruct(model.index)
+      // full key mirrors nunique-with-dropna: NaN full keys map to null
+      // (countDistinct then ignores them exactly like pandas nunique), and
+      // the reference flags nunique != 1 — a sub-key group whose full keys
+      // are ALL missing reads nunique = 0 and is flagged/dropped too
+      val fullKey = keyStructNanSafe(df, model.index)
       val badRowSets = ListBuffer.empty[DataFrame]
       for (subIdx <- model.indexes) {
         // NaN sub-keys behave like null ones: pandas groupby drops the NaN
@@ -247,7 +271,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         // rows the reference never produces
         val tagged = df.withColumn("_sk", keyStructNanSafe(df, subIdx))
         val badKeys = tagged.groupBy(col("_sk"))
-          .agg(countDistinct(fullKey).as("_n")).filter(col("_n") > 1).select("_sk")
+          .agg(countDistinct(fullKey).as("_n")).filter(col("_n") =!= 1).select("_sk")
         val badRows = tagged.join(badKeys, "_sk").select(col(rowId))
         badRowSets += badRows
         violations += badRows.select(
@@ -407,7 +431,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         // drops the NaN label, so conflicts "at NaN" are never flagged —
         // Spark would both group NaN and match it in the join-back
         def nanNull(c: Column, t: DataType): Column = t match {
-          case DoubleType | FloatType => when(isnan(c), lit(null)).otherwise(c)
+          case DoubleType | FloatType => ExprCompiler.nanToNull(c)
           case _ => c
         }
         val fieldPlans = idx1.zip(idx2).map { case (a, b) =>
@@ -561,7 +585,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     * win a min/max. */
   private def nanSafeCol(df: DataFrame, c: String): Column = df.schema(c).dataType match {
     case DoubleType | FloatType =>
-      when(isnan(col(c)), lit(null)).otherwise(col(c))
+      ExprCompiler.nanToNull(col(c))
     case ArrayType(DoubleType | FloatType, _) =>
       filter(col(c), x => !isnan(x))
     case _ => col(c)

@@ -97,12 +97,15 @@ class ValidatorEdgeCaseSpec extends SparkSuite {
         Row(2L, Seq("ta", "x"), 1L),           // one fails -> violation
         Row(3L, Seq(null, "tc"), 2L),          // null element dropped -> pass
         Row(4L, Seq(), 3L),                    // empty -> vacuous
-        Row(5L, null, 4L)))                    // null array -> vacuous
+        Row(5L, null, 4L),                     // null array -> vacuous
+        Row(6L, Seq("x", "y"), 5L)))           // two failing elements -> TWO rows
     val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
       .validate("M", data)
     val fails = result.violations.filter("err = 'AssertionFailed'")
-      .collect().map(_.getAs[Long]("row")).toSet
-    assert(fails == Set(1L), s"only the row with a strictly-failing element fires: $fails")
+      .collect().map(_.getAs[Long]("row")).toSeq.sorted
+    // one violation row per FAILING ELEMENT (reference result[~result]
+    // carries duplicate row labels), not one per row
+    assert(fails == Seq(1L, 5L, 5L), s"per-element multiplicity: $fails")
     assert(result.survivors.get.collect().map(_.getAs[Long]("id")).toSet ==
       Set(1L, 3L, 4L, 5L))
   }
