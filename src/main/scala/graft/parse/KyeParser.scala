@@ -151,18 +151,18 @@ object KyeParser {
         else if (c.isWhitespace) i += 1
         else if (c == '#') { while (i < src.length && src(i) != '\n') i += 1 }
         else if (c == '"') {
+          // escapes keep the lexeme RAW (reference parser.py:128 takes
+          // token.lexeme[1:-1] with no unescaping, so "a\nb" is the
+          // 4-char string a,backslash,n,b); a backslash still shields the
+          // following char from terminating the string (lark
+          // ESCAPED_STRING), and a shielded real newline bumps the line
+          // counter so later errors underline the right source line
           val sb = new StringBuilder; i += 1
           while (i < src.length && src(i) != '"') {
             if (src(i) == '\n') line += 1
             if (src(i) == '\\' && i + 1 < src.length) {
-              // the escape consumes TWO chars — a backslash-escaped real
-              // newline must still bump the line counter or every later
-              // error underlines the wrong source line
               if (src(i + 1) == '\n') line += 1
-              sb.append(src(i + 1) match {
-                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-                case o => o
-              }); i += 2
+              sb.append(src(i)); sb.append(src(i + 1)); i += 2
             } else { sb.append(src(i)); i += 1 }
           }
           if (i >= src.length) reporter.report("Unterminated string", loc())
@@ -173,9 +173,13 @@ object KyeParser {
           // no escape handling BY PARITY: the reference terminal is
           // `"/" /.*?/ "/"` (grammar.lark:96) — lazy up to the first
           // slash, so `\/` is not expressible there either
+          // the reference terminal's `.` cannot match a newline, so a
+          // regex never spans lines — consuming past \n here would
+          // silently swallow the next statement and shift every later
+          // error's line number
           val sb = new StringBuilder; i += 1
-          while (i < src.length && src(i) != '/') { sb.append(src(i)); i += 1 }
-          if (i >= src.length) reporter.report("Unterminated regex", loc())
+          while (i < src.length && src(i) != '/' && src(i) != '\n') { sb.append(src(i)); i += 1 }
+          if (i >= src.length || src(i) != '/') reporter.report("Unterminated regex", loc())
           else i += 1
           push(TRegex(sb.toString, loc()))
         }
@@ -276,6 +280,23 @@ object KyeParser {
       reporter.report(msg, peek.loc)
       throw Bail
     }
+    /** Report at a specific (already-consumed) token — err() would point
+      * at the FOLLOWING token and underline the wrong source position. */
+    private def errAt(t: Tok, msg: String): Nothing = {
+      reporter.report(msg, t.loc)
+      throw Bail
+    }
+    // recursive-descent depth bound: hostile/generated input like
+    // "("*50000 would otherwise StackOverflowError straight past the
+    // CompileError machinery (the reference's LALR parser is iterative)
+    private var depth = 0
+    private def guarded[A](body: => A): A = {
+      depth += 1
+      try {
+        if (depth > 200) err("expression nesting too deep (max 200)")
+        body
+      } finally depth -= 1
+    }
     private def expect(p: String): Unit = peek match {
       case TPunct(`p`, _) => pos += 1
       case other => err(s"Expected '$p', found ${describe(other)}")
@@ -317,7 +338,7 @@ object KyeParser {
       val out = List.newBuilder[String]
       while (!at(")")) next() match {
         case TEdge(n, _) => out += n
-        case other => err(s"expected edge name in index, found ${describe(other)}")
+        case other => errAt(other, s"expected edge name in index, found ${describe(other)}")
       }
       expect(")")
       out.result()
@@ -352,7 +373,7 @@ object KyeParser {
     }
 
     // precedence: | then ^ then & then comparison then +- then */% then unary
-    def parseExpr(): Expr = parseOr()
+    def parseExpr(): Expr = guarded(parseOr())
     private def parseOr(): Expr = binL(parseXor _, Set("|"))
     private def parseXor(): Expr = binL(parseAnd _, Set("^"))
     private def parseAnd(): Expr = binL(parseComp _, Set("&"))
@@ -371,7 +392,7 @@ object KyeParser {
     }
 
     private def parseUnary(): Expr = peek match {
-      case TPunct(op @ ("!" | "~"), _) => pos += 1; EUnary(op, parseUnary())
+      case TPunct(op @ ("!" | "~"), _) => pos += 1; EUnary(op, guarded(parseUnary()))
       case _ => parseAtom()
     }
 
@@ -384,7 +405,7 @@ object KyeParser {
         case TType(n, _) => ETypeId(n)
         case TEdge(n, _) => EEdgeId(n)
         case TPunct("(", _) => val e = parseExpr(); expect(")"); e
-        case other => err(s"expected expression, found $other")
+        case other => errAt(other, s"expected expression, found ${describe(other)}")
       }
       peek match {
         case TPunct("(", _) =>
@@ -418,16 +439,49 @@ object KyeParser {
         case other => other
       }
 
-      // literal⊕literal constant folding (desugar.py:142-155)
-      def fold(e: EBinary): Expr = (e.left, e.right) match {
-        case (ELit(a: Double), ELit(b: Double)) => e.op match {
-          case "+" => ELit(a + b); case "-" => ELit(a - b)
-          case "*" => ELit(a * b); case "/" => ELit(a / b)
-          case "==" => ELit(a == b); case "!=" => ELit(a != b)
-          case _ => e
+      // literal⊕literal constant folding with PYTHON operator semantics
+      // (desugar.py:142-155 folds with the host language's operators):
+      // strings concatenate under +, bools are ints (TRUE == 1 folds
+      // true), cross-type ==/!= compares numerically when both sides are
+      // numeric and is False otherwise — Scala's Any-equality would fold
+      // TRUE == 1 to false, a silently different artifact. Division by a
+      // zero literal is a clean compile error (the reference crashes with
+      // ZeroDivisionError); folds Python would TypeError on are left
+      // unfolded and surface as "Unable to resolve assertion".
+      def pyNum(v: Any): Option[Double] = v match {
+        case d: Double => Some(d)
+        case b: Boolean => Some(if (b) 1.0 else 0.0)
+        case _ => None
+      }
+      def pyEq(a: Any, b: Any): Boolean = (pyNum(a), pyNum(b)) match {
+        case (Some(x), Some(y)) => x == y
+        case _ => (a, b) match {
+          case (x: String, y: String) => x == y
+          case _ => false // mixed str/number or str/bool: Python == is False
         }
+      }
+      def fold(e: EBinary): Expr = (e.left, e.right) match {
         case (ELit(a), ELit(b)) => e.op match {
-          case "==" => ELit(a == b); case "!=" => ELit(a != b)
+          case "==" => ELit(pyEq(a, b))
+          case "!=" => ELit(!pyEq(a, b))
+          case "+" => (a, b) match {
+            case (x: String, y: String) => ELit(x + y)
+            case _ => (pyNum(a), pyNum(b)) match {
+              case (Some(x), Some(y)) => ELit(x + y); case _ => e
+            }
+          }
+          case "-" => (pyNum(a), pyNum(b)) match {
+            case (Some(x), Some(y)) => ELit(x - y); case _ => e
+          }
+          case "*" => (pyNum(a), pyNum(b)) match {
+            case (Some(x), Some(y)) => ELit(x * y); case _ => e
+          }
+          case "/" => (pyNum(a), pyNum(b)) match {
+            case (Some(_), Some(y)) if y == 0.0 =>
+              throw new IllegalArgumentException(
+                "division by zero in constant expression")
+            case (Some(x), Some(y)) => ELit(x / y); case _ => e
+          }
           case _ => e
         }
         case _ => e
@@ -484,12 +538,19 @@ object KyeParser {
         require(lt == rt, s"mixed types in edge expression for $edge")
         (EBinary(op, le, re), lt)
       case EUnary("!", r) =>
-        // reference parity: desugar.py:58-64 builds `edge != expr.right`
-        // from the RAW right operand (its recursive create_assertion result
-        // is discarded) — compound operands like !("a"|"b") therefore keep
-        // the reference's literal-disjunction shape, not a distributed NOT
-        val (_, rt) = createAssertion(r, edge)
-        (EBinary("!=", EEdgeId(edge), r), rt)
+        // reference parity (desugar.py:57-64, verified empirically): the
+        // recursive create_assertion call MUTATES a logical Binary operand
+        // in place (its left/right are reassigned) before `right=expr.right`
+        // reuses the node — so !("a"|"b") becomes
+        // edge != ((edge=="a") | (edge=="b")). Non-logical operands
+        // (literal/regex/unary) return NEW nodes that ARE discarded, so
+        // the raw operand survives for those.
+        val (re, rt) = createAssertion(r, edge)
+        val operand = r match {
+          case EBinary("|" | "&" | "^", _, _) => re // in-place mutation visible
+          case _ => r                               // fresh node discarded
+        }
+        (EBinary("!=", EEdgeId(edge), operand), rt)
       case ELit(v) =>
         (EBinary("==", EEdgeId(edge), e), litType(v))
       case other => throw new IllegalArgumentException(
@@ -525,10 +586,20 @@ object KyeParser {
       // the alias, so a self-reference is 'Type A not defined.',
       // type_builder.py:92-97,126-128; our two-pass alias map needs the
       // explicit guard.)
+      val models = scala.collection.mutable.LinkedHashMap[String, Model]()
+      // compile_edge emits ancestors[-1] (type/compiler.py:43-45): every
+      // native subtype walks to its ROOT (Integer's parent is Number, so a
+      // DSL `: Integer` edge compiles to type "Number" — integer-strict
+      // validation is reachable only from hand-written artifacts, like the
+      // reference). Model-typed edges (foreign-key style `author: User`)
+      // resolve to the MODEL NAME verbatim — models are parentless types —
+      // and, like the reference's in-order TypeBuilder, only models
+      // already defined above the use site are visible.
       def rootType(name: String): String = {
         @annotation.tailrec
         def resolve(n: String, seen: Set[String]): String =
-          if (natives(n)) n
+          if (natives(n)) (if (n == "Integer") "Number" else n)
+          else if (models.contains(n)) n
           else if (seen(n))
             throw new IllegalArgumentException(s"Circular type alias '$name'")
           else typeAliases.get(n) match {
@@ -537,20 +608,23 @@ object KyeParser {
           }
         resolve(name, Set.empty)
       }
-
-      val models = scala.collection.mutable.LinkedHashMap[String, Model]()
       for (s <- stmts) s match {
         case SType(name, ETypeId(parent), _) => typeAliases(name) = parent
         case SType(name, other, _) =>
           throw new IllegalArgumentException(s"unsupported type def $name: $other")
         case SModel(name, indexes, body, _) =>
+          // duplicate MODEL names raise in the reference
+          // (type_builder.py:41 `assert type.name not in self.types`) —
+          // last-wins parity applies to duplicate EDGES only
+          if (models.contains(name))
+            throw new IllegalArgumentException(s"Model $name already defined")
           val edges = scala.collection.mutable.LinkedHashMap[String, Edge]()
           val assertions = List.newBuilder[Assertion]
           for (b <- body) b match {
             // duplicate edge names are last-wins BY PARITY (the reference
             // Types.define is a plain dict assignment, types.py:108-113 —
-            // it even appends a duplicate edge_order entry); same for
-            // duplicate model names below
+            // it even appends a duplicate edge_order entry); duplicate
+            // MODEL names, by contrast, raise — see above
             case SEdge(en, title, card, ETypeId(tn), _) =>
               val (none, many) = card match {
                 case Some('!') => (false, false)

@@ -100,7 +100,13 @@ object CompiledSchema {
   import scala.jdk.CollectionConverters._
 
   private val jsonMapper = new ObjectMapper()
-  private val yamlMapper = new ObjectMapper(new YAMLFactory())
+  // textual parity with the reference's writers (kye.py write_compiled):
+  // PyYAML emits no document-start marker and leaves plain scalars
+  // unquoted; Jackson's defaults ("---", quoted strings) would make every
+  // line of a `--compile` artifact diff against `kye -c` output
+  private val yamlMapper = new ObjectMapper(new YAMLFactory()
+    .disable(com.fasterxml.jackson.dataformat.yaml.YAMLGenerator.Feature.WRITE_DOC_START_MARKER)
+    .enable(com.fasterxml.jackson.dataformat.yaml.YAMLGenerator.Feature.MINIMIZE_QUOTES))
 
   def fromJson(text: String): CompiledSchema = fromTree(jsonMapper.readTree(text))
   def fromYaml(text: String): CompiledSchema = fromTree(yamlMapper.readTree(text))
@@ -252,7 +258,19 @@ object CompiledSchema {
       for ((name, t) <- schema.types) typesNode.set[ObjectNode](name, typeNode(t))
     }
     if (yaml) yamlMapper.writeValueAsString(root)
-    else jsonMapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    else {
+      // match python json.dumps(indent=2): '"key": value' (no space
+      // before the colon) and one array element per line — Jackson's
+      // default pretty printer writes '"key" : value' with inline arrays,
+      // which diffs on every line against a `kye -c` artifact
+      import com.fasterxml.jackson.core.util.{DefaultIndenter, DefaultPrettyPrinter, Separators}
+      val pp = new DefaultPrettyPrinter()
+        .withSeparators(Separators.createDefaultInstance()
+          .withObjectFieldValueSpacing(Separators.Spacing.AFTER))
+        .withArrayIndenter(new DefaultIndenter("  ", "\n"))
+        .withObjectIndenter(new DefaultIndenter("  ", "\n"))
+      jsonMapper.writer(pp).writeValueAsString(root)
+    }
   }
 
   private def putScalar(node: ObjectNode, field: String, v: Any): Unit = v match {

@@ -259,4 +259,78 @@ class KyeParserSpec extends AnyFunSuite {
     assert(errs.nonEmpty)
     assert(errs.head.loc.line == 4, s"error should anchor line 4, got ${errs.head.loc}")
   }
+
+  // ---- r4 front-end sweep parity regressions --------------------------------
+
+  test("model-typed edges compile to the model name (foreign-key style)") {
+    val c = KyeParser.compile(
+      "User(id) {\n  id: Number\n}\nPost(pid) {\n  pid: Number\n  author: User\n}\n")
+    assert(c.models("Post").edges("author").tpe == "User",
+      "reference compile_edge emits the model name verbatim")
+  }
+
+  test("Integer edges compile to Number (ancestors[-1] walk)") {
+    val c = KyeParser.compile("M(id) {\n  id: Integer\n}\n")
+    assert(c.models("M").edges("id").tpe == "Number",
+      "native subtypes walk to the root ancestor like type/compiler.py:43-45")
+    val via = KyeParser.compile("Foo: Integer\nM(id) {\n  id: Foo\n}\n")
+    assert(via.models("M").edges("id").tpe == "Number")
+  }
+
+  test("duplicate model names are a compile error, not last-wins") {
+    val e = intercept[KyeParser.CompileException](
+      KyeParser.compile("User(id) {\n  id: Number\n}\nUser(id) {\n  id: String\n}\n"))
+    assert(e.errors.exists(_.msg.contains("already defined")), e.rendered)
+  }
+
+  test("!(compound) desugars through the reference's in-place mutation") {
+    // desugar.py's create_assertion mutates a LOGICAL operand before
+    // reusing it: x: !("a"|"b") => x != ((x=="a") | (x=="b"))
+    val c = KyeParser.compile("M(id) {\n  id: Number\n  x: String\n  x: !(\"a\"|\"b\")\n}\n")
+    val expr = c.models("M").assertions.head.expr
+    val ops = expr.map(_.op)
+    import graft.schema.Op._
+    assert(ops == List(COL, COL, EQ, COL, EQ, OR, NE),
+      s"mutated-operand shape expected, got $ops")
+  }
+
+  test("string literals keep escape sequences raw (reference lexeme[1:-1])") {
+    val c = KyeParser.compile("M(id) {\n  id: Number\n  x: String\n  x: \"a\\nb\"\n}\n")
+    val v = c.models("M").assertions.head.expr.collectFirst {
+      case Cmd(Op.EQ, List(s: String)) => s
+    }
+    assert(v.contains("a\\nb"),
+      s"4-char raw string a,backslash,n,b expected, got $v")
+  }
+
+  test("constant folding uses Python semantics") {
+    // "a" + "b" folds to "ab" (string concat)
+    val cat = KyeParser.compile("M(id) {\n  id: Number\n  x: String\n  x: \"a\" + \"b\"\n}\n")
+    assert(cat.models("M").assertions.head.expr.exists {
+      case Cmd(Op.EQ, List("ab")) => true; case _ => false
+    }, "string concat must fold")
+    // TRUE == 1 folds to true (Python bools are ints) — Scala Any-equality
+    // would fold false, a silently different artifact
+    val b = KyeParser.compile("M(id) {\n  id: Number\n  x: Boolean\n  x: TRUE == 1\n}\n")
+    assert(b.models("M").assertions.head.expr.exists {
+      case Cmd(Op.EQ, List(true)) => true; case _ => false
+    }, s"TRUE == 1 must fold true: ${b.models("M").assertions.head.expr}")
+    // division by a zero literal: clean compile error (reference crashes)
+    val e = intercept[KyeParser.CompileException](
+      KyeParser.compile("M(id) {\n  id: Number\n  x: Number\n  x: 1 / 0\n}\n"))
+    assert(e.errors.exists(_.msg.contains("division by zero")), e.rendered)
+  }
+
+  test("hostile nesting is a clean compile error, not a StackOverflowError") {
+    val deep = "M(id) {\n  id: Number\n  assert " + "(" * 5000 + "1" + ")" * 5000 + " == 1\n}\n"
+    val e = intercept[KyeParser.CompileException](KyeParser.compile(deep))
+    assert(e.errors.exists(_.msg.contains("nesting too deep")), e.rendered.take(500))
+  }
+
+  test("a regex cannot span lines; the unterminated slash reports, later statements survive") {
+    val e = intercept[KyeParser.CompileException](KyeParser.compile(
+      "M(id) {\n  id: Number\n  x: String\n  x: /ab\n  y: Number\n}\n"))
+    assert(e.errors.exists(_.msg.contains("Unterminated regex")), e.rendered)
+  }
 }
+
