@@ -155,17 +155,16 @@ object KyeParser {
           // token.lexeme[1:-1] with no unescaping, so "a\nb" is the
           // 4-char string a,backslash,n,b); a backslash still shields the
           // following char from terminating the string (lark
-          // ESCAPED_STRING), and a shielded real newline bumps the line
-          // counter so later errors underline the right source line
+          // ESCAPED_STRING) — but the terminal's inner /.*?/ has no
+          // DOTALL, so a string can never span a real newline: stop there
+          // and report, exactly like the regex terminal
           val sb = new StringBuilder; i += 1
-          while (i < src.length && src(i) != '"') {
-            if (src(i) == '\n') line += 1
-            if (src(i) == '\\' && i + 1 < src.length) {
-              if (src(i + 1) == '\n') line += 1
+          while (i < src.length && src(i) != '"' && src(i) != '\n') {
+            if (src(i) == '\\' && i + 1 < src.length && src(i + 1) != '\n') {
               sb.append(src(i)); sb.append(src(i + 1)); i += 2
             } else { sb.append(src(i)); i += 1 }
           }
-          if (i >= src.length) reporter.report("Unterminated string", loc())
+          if (i >= src.length || src(i) != '"') reporter.report("Unterminated string", loc())
           else i += 1
           push(TStr(sb.toString, loc()))
         }
@@ -323,7 +322,10 @@ object KyeParser {
       out.result()
     }
 
-    private def parseBlock(): List[Stmt] = {
+    private def parseBlock(): List[Stmt] = guarded {
+      // same depth bound as expressions: hostile "A{"*50000 block nesting
+      // recurses parseStatement -> parseBlock -> parseStatement unguarded
+      // otherwise and StackOverflowErrors past the CompileError machinery
       expect("{")
       val out = List.newBuilder[Stmt]
       while (!at("}") && !peek.isInstanceOf[TEof])
@@ -539,18 +541,21 @@ object KyeParser {
         (EBinary(op, le, re), lt)
       case EUnary("!", r) =>
         // reference parity (desugar.py:57-64, verified empirically): the
-        // recursive create_assertion call MUTATES a logical Binary operand
-        // in place (its left/right are reassigned) before `right=expr.right`
-        // reuses the node — so !("a"|"b") becomes
-        // edge != ((edge=="a") | (edge=="b")). Non-logical operands
-        // (literal/regex/unary) return NEW nodes that ARE discarded, so
-        // the raw operand survives for those.
-        val (re, rt) = createAssertion(r, edge)
-        val operand = r match {
-          case EBinary("|" | "&" | "^", _, _) => re // in-place mutation visible
-          case _ => r                               // fresh node discarded
+        // recursive create_assertion call MUTATES logical Binary nodes in
+        // place (their left/right are reassigned) before `right=expr.right`
+        // reuses the tree — so !("a"|"b") becomes
+        // edge != ((edge=="a") | (edge=="b")). Fresh nodes built for
+        // literal/regex operands ARE discarded, but a mutation nested
+        // under a discarded wrapper (e.g. !(!("a"|"b"))) remains VISIBLE
+        // through the reused tree — mutatedView mirrors exactly the nodes
+        // the reference rewrites in place.
+        val (_, rt) = createAssertion(r, edge)
+        def mutatedView(e: Expr): Expr = e match {
+          case b @ EBinary("|" | "&" | "^", _, _) => createAssertion(b, edge)._1
+          case EUnary(op, inner) => EUnary(op, mutatedView(inner))
+          case other => other
         }
-        (EBinary("!=", EEdgeId(edge), operand), rt)
+        (EBinary("!=", EEdgeId(edge), mutatedView(r)), rt)
       case ELit(v) =>
         (EBinary("==", EEdgeId(edge), e), litType(v))
       case other => throw new IllegalArgumentException(
@@ -587,6 +592,17 @@ object KyeParser {
       // type_builder.py:92-97,126-128; our two-pass alias map needs the
       // explicit guard.)
       val models = scala.collection.mutable.LinkedHashMap[String, Model]()
+      // reference define() (type_builder.py:40-42) asserts on ANY
+      // redefinition — alias/alias, alias/model, model/model, and names
+      // shadowing the preloaded natives all raise; and a model is DEFINED
+      // BEFORE its body is visited, so self-referential edges
+      // (parent: Category) resolve
+      val defined = scala.collection.mutable.Set[String]() ++ natives
+      def define(name: String): Unit = {
+        if (defined(name))
+          throw new IllegalArgumentException(s"Model $name already defined")
+        defined += name
+      }
       // compile_edge emits ancestors[-1] (type/compiler.py:43-45): every
       // native subtype walks to its ROOT (Integer's parent is Number, so a
       // DSL `: Integer` edge compiles to type "Number" — integer-strict
@@ -599,25 +615,23 @@ object KyeParser {
         @annotation.tailrec
         def resolve(n: String, seen: Set[String]): String =
           if (natives(n)) (if (n == "Integer") "Number" else n)
-          else if (models.contains(n)) n
           else if (seen(n))
             throw new IllegalArgumentException(s"Circular type alias '$name'")
           else typeAliases.get(n) match {
-            case Some(p) => resolve(p, seen + n)
+            case Some(p) => resolve(p, seen + n) // alias chains resolve FIRST
+            case None if models.contains(n) || defined(n) =>
+              n // model-typed (FK) edge — visible from its own body too
             case None => throw new IllegalArgumentException(s"Type $n not defined")
           }
         resolve(name, Set.empty)
       }
       for (s <- stmts) s match {
-        case SType(name, ETypeId(parent), _) => typeAliases(name) = parent
+        case SType(name, ETypeId(parent), _) =>
+          define(name); typeAliases(name) = parent
         case SType(name, other, _) =>
           throw new IllegalArgumentException(s"unsupported type def $name: $other")
         case SModel(name, indexes, body, _) =>
-          // duplicate MODEL names raise in the reference
-          // (type_builder.py:41 `assert type.name not in self.types`) —
-          // last-wins parity applies to duplicate EDGES only
-          if (models.contains(name))
-            throw new IllegalArgumentException(s"Model $name already defined")
+          define(name) // raises on duplicates; visible to its own body
           val edges = scala.collection.mutable.LinkedHashMap[String, Edge]()
           val assertions = List.newBuilder[Assertion]
           for (b <- body) b match {

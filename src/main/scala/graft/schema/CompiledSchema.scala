@@ -266,7 +266,11 @@ object CompiledSchema {
       import com.fasterxml.jackson.core.util.{DefaultIndenter, DefaultPrettyPrinter, Separators}
       val pp = new DefaultPrettyPrinter()
         .withSeparators(Separators.createDefaultInstance()
-          .withObjectFieldValueSpacing(Separators.Spacing.AFTER))
+          .withObjectFieldValueSpacing(Separators.Spacing.AFTER)
+          // python writes '[]'/'{}'; Jackson's default empty separator is
+          // a single space ('[ ]'), which would diff on every no-arg Cmd
+          .withArrayEmptySeparator("")
+          .withObjectEmptySeparator(""))
         .withArrayIndenter(new DefaultIndenter("  ", "\n"))
         .withObjectIndenter(new DefaultIndenter("  ", "\n"))
       jsonMapper.writer(pp).writeValueAsString(root)

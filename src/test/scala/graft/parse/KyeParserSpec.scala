@@ -251,13 +251,46 @@ class KyeParserSpec extends AnyFunSuite {
     assert(mutual.exists(_.msg.toLowerCase.contains("circular")), s"got $mutual")
   }
 
-  test("backslash-escaped newline inside a string keeps later error lines correct") {
-    // the escape branch consumes two chars; a real newline inside it must
-    // still bump the line counter or every later Loc is off by one
+  test("strings cannot span a real newline (reference ESCAPED_STRING has no DOTALL)") {
+    // lark's _STRING_INNER /.*?/ never matches a newline, so a string
+    // containing one — shielded or not — is a lex error in the reference;
+    // consuming past it here would mis-anchor every later error line
     val src = "M(id) {\n  id \"a\\\nb\": Number\n  assert id > 1.2.3\n}"
     val errs = KyeParser.compileEither(src).left.getOrElse(Nil)
-    assert(errs.nonEmpty)
-    assert(errs.head.loc.line == 4, s"error should anchor line 4, got ${errs.head.loc}")
+    assert(errs.exists(_.msg.contains("Unterminated string")),
+      errs.map(_.msg).mkString("; "))
+  }
+
+  test("hostile BLOCK nesting is also a clean compile error") {
+    val deep = "A{" * 5000
+    val e = intercept[KyeParser.CompileException](KyeParser.compile(deep))
+    assert(e.errors.nonEmpty)
+  }
+
+  test("self-referential model edges resolve (model defined before its body)") {
+    val c = KyeParser.compile("Category(id) {\n  id: Number\n  parent: Category\n}\n")
+    assert(c.models("Category").edges("parent").tpe == "Category")
+  }
+
+  test("alias and native redefinitions raise like the reference define()") {
+    val e1 = intercept[KyeParser.CompileException](KyeParser.compile(
+      "User(id) {\n  id: Number\n}\nFoo: User\nFoo: User\n"))
+    assert(e1.errors.exists(_.msg.contains("already defined")), e1.rendered)
+    val e2 = intercept[KyeParser.CompileException](KyeParser.compile(
+      "Number(id) {\n  id: String\n}\n"))
+    assert(e2.errors.exists(_.msg.contains("already defined")),
+      "shadowing a preloaded native must raise: " + e2.rendered)
+  }
+
+  test("!(!(compound)) keeps the mutation visible through the discarded wrapper") {
+    val c = KyeParser.compile(
+      "M(id) {\n  id: Number\n  x: String\n  x: !(!(\"a\"|\"b\"))\n}\n")
+    val ops = c.models("M").assertions.head.expr.map(_.op)
+    import graft.schema.Op._
+    // x != !((x=="a") | (x=="b")) — the inner binary is mutated in place
+    // and stays visible through the reused unary wrapper
+    assert(ops == List(COL, COL, EQ, COL, EQ, OR, NOT, NE),
+      s"nested-mutation shape expected, got $ops")
   }
 
   // ---- r4 front-end sweep parity regressions --------------------------------
