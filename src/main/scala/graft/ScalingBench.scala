@@ -210,20 +210,18 @@ object ScalingBench {
          |efficiency = **${"%.3f".formatLocal(java.util.Locale.ROOT, effSp)}** (target >= 0.8; hardware
          |ceiling ${"%.3f".formatLocal(java.util.Locale.ROOT, effCal)})
          |""".stripMargin
-    // the run-to-run variance section is maintained BY HAND across rounds
-    // (this bench knows only its own run) — carry over ONLY that section,
-    // bounded at the next "## " heading: substring-to-EOF would re-append
-    // any later-added trailing sections verbatim on every run, silently
-    // growing the report
+    // everything from the run-to-run variance heading onward is maintained
+    // BY HAND across rounds (this bench knows only its own run) — carry it
+    // over VERBATIM through EOF: bounding at the next "## " heading would
+    // silently drop any hand-added trailing sections on the next rewrite
+    // (the carry is idempotent — the generated prefix above never contains
+    // the variance heading, so nothing accumulates run-over-run)
     val variance = {
       val p = Paths.get(outMd)
       if (Files.exists(p)) {
         val prev = Files.readString(p)
         val i = prev.indexOf("## Run-to-run variance")
-        if (i >= 0) {
-          val next = prev.indexOf("\n## ", i)
-          "\n" + (if (next >= 0) prev.substring(i, next + 1) else prev.substring(i))
-        } else ""
+        if (i >= 0) "\n" + prev.substring(i) else ""
       } else ""
     }
     Files.createDirectories(Paths.get(outMd).toAbsolutePath.getParent)

@@ -260,7 +260,11 @@ object Main {
             columns = Seq("role", "text"),
             onVerdicts = pd => {
               pd.verdicts.foreach(v => println(
-                f"drift p=${pd.partitionId} ${v.name}: psi=${v.psi}%.4f ks=${v.ks}%.4f drifted=${v.drifted}"))
+                // formatLocal(Locale.ROOT): the f"" interpolator is
+                // locale-sensitive — a comma-decimal default locale would
+                // print psi=0,1234 and break parsers of this line
+                "drift p=%s %s: psi=%.4f ks=%.4f drifted=%s".formatLocal(
+                  java.util.Locale.ROOT, pd.partitionId, v.name, v.psi, v.ks, v.drifted)))
               if ((pd.producedNotInBaseline.nonEmpty || pd.baselineNotProduced.nonEmpty)
                   && warnedOnce.compareAndSet(false, true)) {
                 pd.producedNotInBaseline.foreach(n => System.err.println(

@@ -170,7 +170,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       // array column this way (every COL in the program IS the edge); the
       // reference itself runs ONLY single-edge assertions
       // (loader.py:120-121).
-      final case class Compiled(pred: Column, failElems: Option[Column])
+      final case class Compiled(pred: Column)
       def compileAssertion(a: graft.schema.Assertion): Compiled =
         a.edges match {
           case Seq(edge) if df.schema(edge).dataType.isInstanceOf[ArrayType] =>
@@ -186,8 +186,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
             val anyEval = exists(arr, e => perElem(e).isNotNull)
             // null array / empty / all-null elements -> NULL (vacuous)
             Compiled(
-              when(arr.isNotNull && coalesce(anyEval, lit(false)), size(fails) === 0),
-              Some(fails))
+              when(arr.isNotNull && coalesce(anyEval, lit(false)), size(fails) === 0))
           case edges =>
             edges.find(e => df.schema(e).dataType.isInstanceOf[ArrayType]).foreach { e =>
               throw new UnsupportedOperationException(
@@ -195,7 +194,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
                   "other edges — multi-edge assertions over many-valued columns are " +
                   "not supported (the reference runs single-edge assertions only)")
             }
-            Compiled(ExprCompiler.compile(a.expr, nanRef, nanAbsent = true), None)
+            Compiled(ExprCompiler.compile(a.expr, nanRef, nanAbsent = true))
         }
       val compiled = applicable.map(a => a -> compileAssertion(a))
       val rawPreds = compiled.map { case (a, c) => a -> c.pred }
@@ -203,31 +202,25 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       for ((a, c) <- compiled) {
         // a zero-edge (constant) assertion still yields one violation row
         // per failing row — explode over the empty edge list would silently
-        // swallow it. Array-edge assertions report one row per FAILING
-        // ELEMENT (explode over the failing slice), matching the
-        // reference's duplicate row labels in result[~result].
+        // swallow it. Array-edge assertions ALSO report one row per failing
+        // ROW: the reference VM dedups (row, value) pairs on every stack
+        // pop (vm.py:26-30), so a row whose distinct elements all fail
+        // collapses to ONE False entry in result[~result] [verified by
+        // execution: vals=[-5,-5,-7] yields a single AssertionFailed row].
+        // A row with MIXED element verdicts crashes the reference outright
+        // ("cannot reindex on an axis with duplicate labels" in
+        // `mask &= result`, loader.py:124) — documented deviation: here it
+        // fails the row cleanly instead of crashing.
         val base = df.filter(!coalesce(c.pred, lit(true)))
-        violations += (c.failElems match {
-          case Some(fe) =>
-            base.select(
-              lit("AssertionFailed").as("err"), lit(model.name).as("model"),
-              col(rowId).cast(LongType).as("row"),
-              explode(fe).as("_fe"),
-              lit(a.loc.orNull).cast(StringType).as("loc"),
-              lit(a.msg).as("expected"))
-              .select(col("err"), col("model"), col("row"),
-                lit(a.edges.head).as("col"), col("loc"), col("expected"))
-          case None =>
-            val colOut =
-              if (a.edges.isEmpty) lit(null).cast(StringType).as("col")
-              else explode(array(a.edges.map(lit(_)): _*)).as("col")
-            base.select(
-              lit("AssertionFailed").as("err"), lit(model.name).as("model"),
-              col(rowId).cast(LongType).as("row"),
-              colOut,
-              lit(a.loc.orNull).cast(StringType).as("loc"),
-              lit(a.msg).as("expected"))
-        })
+        val colOut =
+          if (a.edges.isEmpty) lit(null).cast(StringType).as("col")
+          else explode(array(a.edges.map(lit(_)): _*)).as("col")
+        violations += base.select(
+          lit("AssertionFailed").as("err"), lit(model.name).as("model"),
+          col(rowId).cast(LongType).as("row"),
+          colOut,
+          lit(a.loc.orNull).cast(StringType).as("loc"),
+          lit(a.msg).as("expected"))
       }
       var parityAssertionFired = false
       val survivorPreds: Seq[Column] =

@@ -98,14 +98,17 @@ class ValidatorEdgeCaseSpec extends SparkSuite {
         Row(3L, Seq(null, "tc"), 2L),          // null element dropped -> pass
         Row(4L, Seq(), 3L),                    // empty -> vacuous
         Row(5L, null, 4L),                     // null array -> vacuous
-        Row(6L, Seq("x", "y"), 5L)))           // two failing elements -> TWO rows
+        Row(6L, Seq("x", "y"), 5L)))           // two failing elements -> ONE row
     val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
       .validate("M", data)
     val fails = result.violations.filter("err = 'AssertionFailed'")
       .collect().map(_.getAs[Long]("row")).toSeq.sorted
-    // one violation row per FAILING ELEMENT (reference result[~result]
-    // carries duplicate row labels), not one per row
-    assert(fails == Seq(1L, 5L, 5L), s"per-element multiplicity: $fails")
+    // one violation row per FAILING ROW: the reference VM dedups
+    // (row, value) pairs on every stack pop (vm.py:26-30), so equal
+    // element verdicts collapse to a single entry in result[~result]
+    // [verified by execution]; mixed verdicts crash the reference
+    // (documented deviation: here the row fails cleanly)
+    assert(fails == Seq(1L, 5L), s"per-row multiplicity: $fails")
     assert(result.survivors.get.collect().map(_.getAs[Long]("id")).toSet ==
       Set(1L, 3L, 4L, 5L))
   }
