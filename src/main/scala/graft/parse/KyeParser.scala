@@ -22,7 +22,14 @@ object KyeParser {
   /** Character-span location: 1-based line plus [start, end) offsets into
     * the source (the reference tracks token positions the same way,
     * `compilation_errors.py:12-27`). */
-  final case class Loc(line: Int, start: Int, end: Int)
+  final case class Loc(line: Int, start: Int, end: Int, col: Int = -1) {
+    /** Reference `str(loc)` form ("line:col", 1-based; desugar-synthesized
+      * nodes carry the NULL_LOCATION "-1:-1", kyepy expressions.py). */
+    def ref: String = s"$line:$col"
+  }
+
+  /** Reference NULL_LOCATION: locs of desugar-synthesized assertions. */
+  val NullLoc: Loc = Loc(-1, 0, 0, -1)
 
   final case class ParseError(message: String, line: Int)
     extends RuntimeException(s"line $line: $message")
@@ -128,20 +135,26 @@ object KyeParser {
       val out = Vector.newBuilder[Tok]
       var i = 0
       var line = 1
+      var lineStart = 0 // offset of the current line's first char (col = 1-based)
       var tokStart = 0
       var tokLine = 1
+      var tokCol = 1
       var prev: Tok = TEof(Loc(0, 0, 0)) // previous significant token (sign disambiguation)
-      def loc(): Loc = Loc(tokLine, tokStart, i)
+      def loc(): Loc = Loc(tokLine, tokStart, i, tokCol)
       def push(t: Tok): Unit = { out += t; prev = t }
       def isValueEnd(t: Tok): Boolean = t match {
+        // `assert` is the reference's ASSERT keyword terminal, after which
+        // the LALR state expects an expression — so a directly-attached
+        // sign starts a NUMBER there (`assert +489 == x`), never a binary op
+        case TEdge("assert", _) => false
         case _: TNum | _: TStr | _: TBool | _: TRegex | _: TEdge | _: TType => true
         case TPunct(")" | "]" | "}", _) => true
         case _ => false
       }
       while (i < src.length) {
         val c = src(i)
-        tokStart = i; tokLine = line
-        if (c == '\n') { line += 1; i += 1 }
+        tokStart = i; tokLine = line; tokCol = i - lineStart + 1
+        if (c == '\n') { line += 1; i += 1; lineStart = i }
         else if (c == ',') {
           // comma is a soft delimiter but DOES end the previous value, so a
           // following `/…/` lexes as a regex (e.g. `matches(name, /a+/)`),
@@ -203,12 +216,26 @@ object KyeParser {
           push(TNum(value, loc()))
         }
         else if (c.isUpper) {
+          // reference TYPE terminal: /[A-Z]+[a-z][a-zA-Z0-9]*/ — NO
+          // underscore, and at least one lowercase letter is REQUIRED
+          // (`M` or `ABC` alone is 'Unexpected character' in the
+          // reference lexer [verified by execution: `M(id)` fails]).
+          // lark prefix-matches, so `Abc_x` lexes TYPE(Abc) + EDGE(_x).
           val start = i
-          while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+          while (i < src.length && src(i).isLetterOrDigit) i += 1
           val w = src.substring(start, i)
           if (w == "TRUE") push(TBool(true, loc()))
           else if (w == "FALSE") push(TBool(false, loc()))
-          else push(TType(w, loc()))
+          else {
+            // longest valid TYPE prefix: [A-Z]+ then [a-z] then [a-zA-Z0-9]*
+            var caps = 0
+            while (caps < w.length && w(caps).isUpper) caps += 1
+            if (caps < w.length && w(caps).isLower) push(TType(w, loc()))
+            else {
+              i = start + 1 // resync one char in, like the reference lexer
+              reporter.report("Unexpected character", Loc(tokLine, start, start + 1, tokCol))
+            }
+          }
         }
         else if (c.isLower || c == '_') {
           val start = i
@@ -365,6 +392,11 @@ object KyeParser {
           case TStr(s, _) => pos += 1; Some(s)
           case _ => None
         }
+        // grammar allows indexes on edge defs (`edge_def: EDGE STRING?
+        // index* CARDINALITY? …`, grammar.lark:23) — the reference parses
+        // and silently DISCARDS them [verified by execution: `id(zz):
+        // Number` compiles identically to `id: Number`]
+        while (at("(")) parseIndex()
         val card = peek match {
           case TPunct(c @ ("*" | "?" | "+" | "!"), _) => pos += 1; Some(c.head)
           case _ => None
@@ -374,14 +406,17 @@ object KyeParser {
       case other => err(s"expected statement, found ${describe(other)}")
     }
 
-    // precedence: | then ^ then & then comparison then +- then */% then unary
+    // precedence (loosest→tightest): | then ^ then & then comparison then
+    // */% then +- then unary — NOTE the reference grammar nests add_exp
+    // INSIDE mult_exp (grammar.lark:47-52), so +/- bind TIGHTER than '*'
+    // and '/': `2 + 3 * 4` parses as `(2 + 3) * 4` [verified by execution]
     def parseExpr(): Expr = guarded(parseOr())
     private def parseOr(): Expr = binL(parseXor _, Set("|"))
     private def parseXor(): Expr = binL(parseAnd _, Set("^"))
     private def parseAnd(): Expr = binL(parseComp _, Set("&"))
-    private def parseComp(): Expr = binL(parseAdd _, Set("!=", "==", ">=", "<=", ">", "<"))
-    private def parseAdd(): Expr = binL(parseMult _, Set("+", "-"))
-    private def parseMult(): Expr = binL(parseUnary _, Set("*", "/", "%"))
+    private def parseComp(): Expr = binL(parseMult _, Set("!=", "==", ">=", "<=", ">", "<"))
+    private def parseMult(): Expr = binL(parseAdd _, Set("*", "/", "%"))
+    private def parseAdd(): Expr = binL(parseUnary _, Set("+", "-"))
 
     private def binL(child: () => Expr, ops: Set[String]): Expr = {
       var left = child()
@@ -430,98 +465,92 @@ object KyeParser {
   // ---- desugar (kyepy desugar.py) ---------------------------------------------
 
   object Desugar {
+    private val natives = Set("Boolean", "Number", "Integer", "String")
+
     def run(stmts: List[Stmt]): List[Stmt] = {
+      // reference alias map (desugar.py visit_type): plain dict, LAST WINS
+      // on redefinition [verified by execution: `Ca: "X"` then `Ca: "Y"`
+      // compiles with "Y"]; native names ARE shadowable (`Number: "x"`
+      // silently rewrites every later `: Number` edge — visit_type_identifier
+      // consults the alias map BEFORE the native table)
       val aliases = scala.collection.mutable.Map[String, Expr]()
+      var refs = scala.collection.mutable.Set.empty[String]
 
-      def substitute(e: Expr): Expr = e match {
-        case ETypeId(n) if aliases.contains(n) => aliases(n)
-        case EBinary(op, l, r) => fold(EBinary(op, substitute(l), substitute(r)))
-        case EUnary(op, r) => EUnary(op, substitute(r))
-        case ECall(c, args) => ECall(c, args.map(substitute))
-        case other => other
+      /** The reference `Desugar.visit` value semantics, replicated exactly
+        * [verified by execution]: visit RETURNS the substituted/folded view
+        * of a node, but `visit_binary` never assigns the visited children
+        * back — so a child's fold/substitution result is DISCARDED unless
+        * an ANCESTOR materializes it: the root assignment (edge/assert/
+        * alias), an unbroken literal-fold chain up to that root, or a
+        * `visit_unary` in-place assignment (`unary_ast.right = visit(...)`
+        * MUTATES the shared node, so `!!(\"a\" != \"b\") | x` compiles the
+        * inner NOT to {not: true} even though the enclosing OR discards its
+        * visited children). Modeled immutably as (view, mutated) pairs:
+        * `view` is the visit return value, `mutated` is the node as the
+        * reference's in-place mutations leave it. */
+      def visit2(e: Expr): (Expr, Expr) = e match {
+        case ETypeId(n) =>
+          if (aliases.contains(n)) (aliases(n), e)
+          else { if (!natives(n)) refs += n; (e, e) }
+        case EEdgeId(n) => refs += n; (e, e)
+        case EBinary(op, l, r) =>
+          val (vl, ml) = visit2(l); val (vr, mr) = visit2(r)
+          val mutated =
+            if ((ml eq l) && (mr eq r)) e else EBinary(op, ml, mr)
+          (vl, vr) match {
+            case (ELit(a), ELit(b)) if FoldOps(op) => (ELit(pyFold(op, a, b)), mutated)
+            case _ => (mutated, mutated)
+          }
+        case EUnary(op, r) =>
+          val (vr, _) = visit2(r) // the VIEW is assigned in place
+          val node = EUnary(op, vr)
+          (node, node)
+        case ECall(c, _) =>
+          // no visit_call handler in the reference: the visit returns None
+          // and the caller crashes on it (AttributeError) — clean error here
+          throw new IllegalArgumentException(s"call '$c' is not supported in expressions")
+        case lit => (lit, lit)
       }
+      def visit(e: Expr): Expr = visit2(e)._1
 
-      // literal⊕literal constant folding with PYTHON operator semantics
-      // (desugar.py:142-155 folds with the host language's operators):
-      // strings concatenate under +, bools are ints (TRUE == 1 folds
-      // true), cross-type ==/!= compares numerically when both sides are
-      // numeric and is False otherwise — Scala's Any-equality would fold
-      // TRUE == 1 to false, a silently different artifact. Division by a
-      // zero literal is a clean compile error (the reference crashes with
-      // ZeroDivisionError); folds Python would TypeError on are left
-      // unfolded and surface as "Unable to resolve assertion".
-      def pyNum(v: Any): Option[Double] = v match {
-        case d: Double => Some(d)
-        case b: Boolean => Some(if (b) 1.0 else 0.0)
-        case _ => None
-      }
-      def pyEq(a: Any, b: Any): Boolean = (pyNum(a), pyNum(b)) match {
-        case (Some(x), Some(y)) => x == y
-        case _ => (a, b) match {
-          case (x: String, y: String) => x == y
-          case _ => false // mixed str/number or str/bool: Python == is False
-        }
-      }
-      def fold(e: EBinary): Expr = (e.left, e.right) match {
-        case (ELit(a), ELit(b)) => e.op match {
-          case "==" => ELit(pyEq(a, b))
-          case "!=" => ELit(!pyEq(a, b))
-          case "+" => (a, b) match {
-            case (x: String, y: String) => ELit(x + y)
-            case _ => (pyNum(a), pyNum(b)) match {
-              case (Some(x), Some(y)) => ELit(x + y); case _ => e
-            }
-          }
-          case "-" => (pyNum(a), pyNum(b)) match {
-            case (Some(x), Some(y)) => ELit(x - y); case _ => e
-          }
-          case "*" => (pyNum(a), pyNum(b)) match {
-            case (Some(x), Some(y)) => ELit(x * y); case _ => e
-          }
-          case "/" => (pyNum(a), pyNum(b)) match {
-            case (Some(_), Some(y)) if y == 0.0 =>
-              throw new IllegalArgumentException(
-                "division by zero in constant expression")
-            case (Some(x), Some(y)) => ELit(x / y); case _ => e
-          }
-          case _ => e
-        }
-        case _ => e
-      }
-
-      def hasRefs(e: Expr): Boolean = e match {
-        case ETypeId(n) => !Set("Boolean", "Number", "Integer", "String").contains(n)
-        case EEdgeId(_) => true
-        case EBinary(_, l, r) => hasRefs(l) || hasRefs(r)
-        case EUnary(_, r) => hasRefs(r)
-        case ECall(_, args) => args.exists(hasRefs)
-        case _ => false
+      /** visit + per-expression ref collection (reference collect_refs). */
+      def collect(e: Expr): (Expr, Boolean) = {
+        val saved = refs
+        refs = scala.collection.mutable.Set.empty[String]
+        val out = visit(e)
+        val mine = refs
+        refs = saved ++ mine
+        (out, mine.nonEmpty)
       }
 
       val out = List.newBuilder[Stmt]
+      val mutations = new Mutations
       for (s <- stmts) s match {
         case SType(name, expr0, line) =>
-          val expr = substitute(expr0)
-          // ref-free non-alias expressions are inlined (aliases map); a
-          // plain alias (ETypeId) or anything still carrying refs
-          // survives to the Builder
-          if (!hasRefs(expr) && !expr.isInstanceOf[ETypeId]) aliases(name) = expr
+          val (expr, hasRefs) = collect(expr0)
+          // ref-free expressions become macros (LAST wins); anything still
+          // carrying refs (a model name, an edge name) survives to the
+          // Builder, which rejects it like the reference TypeBuilder
+          // (AssertionError/NotImplementedError — reject class)
+          if (!hasRefs) aliases(name) = expr
           else out += SType(name, expr, line)
         case SModel(name, indexes, body, line) =>
           val newBody = List.newBuilder[Stmt]
           val extraAsserts = List.newBuilder[Stmt]
           for (b <- body) b match {
             case e @ SEdge(en, title, card, expr0, eline) =>
-              val expr = substitute(expr0)
+              val expr = visit(expr0)
               expr match {
                 case ETypeId(_) => newBody += e.copy(expr = expr)
                 case _ =>
-                  // edge-expr → assertion + inferred type (desugar.py:37-71,121-129)
-                  val (assertExpr, tpe) = createAssertion(expr, en)
-                  extraAsserts += SAssert(assertExpr, eline)
+                  // edge-expr → assertion + inferred type
+                  // (desugar.py:37-71,121-129); synthesized assertions
+                  // carry the reference NULL_LOCATION ("-1:-1")
+                  val (assertExpr, tpe) = createAssertion(expr, en, mutations)
+                  extraAsserts += SAssert(assertExpr, NullLoc)
                   newBody += SEdge(en, title, card, ETypeId(tpe), eline)
               }
-            case SAssert(expr, aline) => newBody += SAssert(substitute(expr), aline)
+            case SAssert(expr, aline) => newBody += SAssert(visit(expr), aline)
             case other => newBody += other
           }
           out += SModel(name, indexes, newBody.result() ++ extraAsserts.result(), line)
@@ -530,32 +559,116 @@ object KyeParser {
       out.result()
     }
 
+    // literal⊕literal constant folding with PYTHON operator semantics
+    // (desugar.py:142-155 folds with the host language's operators,
+    // verified by execution): only + - * / == != fold (comparisons and
+    // logicals never do); strings concatenate under +, `str * bool`
+    // repeats (bool is int), bools are ints (TRUE == 1 folds true,
+    // TRUE + TRUE folds to the Python INT 2 — serialized "2", not "2.0");
+    // mixed-type arithmetic raises like Python TypeError (reject class);
+    // literal /0 is the reference's ZeroDivisionError (reject class).
+    private val FoldOps = Set("+", "-", "*", "/", "==", "!=")
+
+    private def pyNum(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case b: Boolean => Some(if (b) 1.0 else 0.0)
+      case _ => None
+    }
+    private def isIntLike(v: Any): Boolean = v.isInstanceOf[Boolean]
+
+    private def pyEq(a: Any, b: Any): Boolean = (pyNum(a), pyNum(b)) match {
+      case (Some(x), Some(y)) => x == y
+      case _ => (a, b) match {
+        case (x: String, y: String) => x == y
+        case _ => false // mixed str/number or str/bool: Python == is False
+      }
+    }
+
+    private def pyFold(op: String, a: Any, b: Any): Any = {
+      def typeErr(pyOp: String): Nothing = throw new IllegalArgumentException(
+        s"unsupported operand types for $pyOp: $a, $b")
+      def arith(f: (Double, Double) => Double, pyOp: String): Any =
+        (pyNum(a), pyNum(b)) match {
+          case (Some(x), Some(y)) =>
+            val r = f(x, y)
+            // Python int op int stays int (only bools are int-typed here)
+            if (isIntLike(a) && isIntLike(b) && pyOp != "/") r.toLong else r
+          case _ => typeErr(pyOp)
+        }
+      op match {
+        case "==" => pyEq(a, b)
+        case "!=" => !pyEq(a, b)
+        case "+" => (a, b) match {
+          case (x: String, y: String) => x + y
+          case _ => arith(_ + _, "+")
+        }
+        case "-" => arith(_ - _, "-")
+        case "*" => (a, b) match {
+          case (x: String, y: Boolean) => if (y) x else "" // str * bool repeats
+          case (x: Boolean, y: String) => if (x) y else ""
+          case (_: String, _) | (_, _: String) => typeErr("*")
+          case _ => arith(_ * _, "*")
+        }
+        case "/" =>
+          (pyNum(a), pyNum(b)) match {
+            case (Some(_), Some(y)) if y == 0.0 =>
+              throw new IllegalArgumentException("division by zero in constant expression")
+            case (Some(x), Some(y)) => x / y // Python 3 true division: always float
+            case _ => typeErr("/")
+          }
+        case other => throw new IllegalStateException(s"unfoldable op $other")
+      }
+    }
+
+    /** Per-compile store of create_assertion's IN-PLACE mutations of
+      * logical Binary nodes, keyed by node IDENTITY (the reference
+      * reassigns `expr.left`/`expr.right` on the shared AST objects,
+      * desugar.py:53-56). Consequences replicated here [all verified by
+      * execution]:
+      *  - `!("a"|"b")` compiles to `edge != ((edge=="a")|(edge=="b"))` —
+      *    the NOT branch reuses the already-mutated tree;
+      *  - an ALIAS whose body contains a logical operator CRASHES the
+      *    reference when used as the expr of a SECOND edge (or twice in
+      *    one expr): the desugar macro map shares one tree, the first use
+      *    mutates it, and re-running create_assertion on converted
+      *    children hits 'Unable to resolve assertion' — reject class here.
+      */
+    private final class Mutations {
+      private val m = new java.util.IdentityHashMap[AnyRef, (Expr, Expr)]()
+      def get(b: EBinary): Option[(Expr, Expr)] = Option(m.get(b))
+      def put(b: EBinary, l: Expr, r: Expr): Unit = m.put(b, (l, r))
+      /** The node as the reference's mutations leave it. */
+      def cur(e: Expr): Expr = e match {
+        case b @ EBinary(op, l, r) => get(b) match {
+          case Some((ml, mr)) => EBinary(op, ml, mr)
+          case None =>
+            val cl = cur(l); val cr = cur(r)
+            if ((cl eq l) && (cr eq r)) b else EBinary(op, cl, cr)
+        }
+        case u @ EUnary(op, r) =>
+          val cr = cur(r)
+          if (cr eq r) u else EUnary(op, cr)
+        case other => other
+      }
+    }
+
     /** `"a"` ⇒ `edge == "a"`; `/re/` ⇒ `matches(edge, re)`; `!x` ⇒
       * `edge != x`; logical ops distribute (desugar.py:37-71). */
-    private def createAssertion(e: Expr, edge: String): (Expr, String) = e match {
+    private def createAssertion(e: Expr, edge: String, mut: Mutations): (Expr, String) = e match {
       case ERegex(p) => (ECall("matches", List(EEdgeId(edge), ELit(p))), "String")
-      case EBinary(op @ ("|" | "&" | "^"), l, r) =>
-        val (le, lt) = createAssertion(l, edge)
-        val (re, rt) = createAssertion(r, edge)
+      case b @ EBinary(op @ ("|" | "&" | "^"), l0, r0) =>
+        // operate on the CURRENT (possibly already-mutated) children —
+        // a second pass over a mutated node recurses into conversion
+        // results and raises, exactly like the reference
+        val (l, r) = mut.get(b).getOrElse((l0, r0))
+        val (le, lt) = createAssertion(l, edge, mut)
+        val (re, rt) = createAssertion(r, edge, mut)
         require(lt == rt, s"mixed types in edge expression for $edge")
+        mut.put(b, le, re)
         (EBinary(op, le, re), lt)
       case EUnary("!", r) =>
-        // reference parity (desugar.py:57-64, verified empirically): the
-        // recursive create_assertion call MUTATES logical Binary nodes in
-        // place (their left/right are reassigned) before `right=expr.right`
-        // reuses the tree — so !("a"|"b") becomes
-        // edge != ((edge=="a") | (edge=="b")). Fresh nodes built for
-        // literal/regex operands ARE discarded, but a mutation nested
-        // under a discarded wrapper (e.g. !(!("a"|"b"))) remains VISIBLE
-        // through the reused tree — mutatedView mirrors exactly the nodes
-        // the reference rewrites in place.
-        val (_, rt) = createAssertion(r, edge)
-        def mutatedView(e: Expr): Expr = e match {
-          case b @ EBinary("|" | "&" | "^", _, _) => createAssertion(b, edge)._1
-          case EUnary(op, inner) => EUnary(op, mutatedView(inner))
-          case other => other
-        }
-        (EBinary("!=", EEdgeId(edge), mutatedView(r)), rt)
+        val (_, rt) = createAssertion(r, edge, mut)
+        (EBinary("!=", EEdgeId(edge), mut.cur(r)), rt)
       case ELit(v) =>
         (EBinary("==", EEdgeId(edge), e), litType(v))
       case other => throw new IllegalArgumentException(
@@ -564,7 +677,7 @@ object KyeParser {
 
     def litType(v: Any): String = v match {
       case _: Boolean => "Boolean"
-      case _: Double => "Number"
+      case _: Double | _: Long => "Number" // Long: bool-arith fold results (Python ints)
       case _: String => "String"
       case o => throw new IllegalArgumentException(s"unknown literal $o")
     }
@@ -582,21 +695,16 @@ object KyeParser {
       "%" -> Op.MOD)
 
     def build(stmts: List[Stmt]): CompiledSchema = {
-      // alias-to-type statements surviving desugar: X: Number clones
-      val typeAliases = scala.collection.mutable.Map[String, String]()
       val natives = Set("Boolean", "Number", "Integer", "String")
-      // cycle-guarded: `A: A` (or A: B / B: A) must be a clean compile
-      // error, not an infinite loop. (The reference terminates on cycles
-      // by construction — visit_type resolves the parent BEFORE defining
-      // the alias, so a self-reference is 'Type A not defined.',
-      // type_builder.py:92-97,126-128; our two-pass alias map needs the
-      // explicit guard.)
       val models = scala.collection.mutable.LinkedHashMap[String, Model]()
-      // reference define() (type_builder.py:40-42) asserts on ANY
-      // redefinition — alias/alias, alias/model, model/model, and names
-      // shadowing the preloaded natives all raise; and a model is DEFINED
-      // BEFORE its body is visited, so self-referential edges
-      // (parent: Category) resolve
+      // duplicate MODEL names raise (reference TypeBuilder.define asserts,
+      // type_builder.py:40-42 — models are the only statements that still
+      // reach define(): desugar turned every ref-free type statement into
+      // a macro, with LAST-wins redefinition [verified by execution]); a
+      // model is DEFINED BEFORE its body is visited, so self-referential
+      // edges (parent: Category) resolve. Natives ARE preloaded into the
+      // reference's types dict, so a MODEL named `Number` asserts there —
+      // while an ALIAS `Number: "x"` shadows freely in the desugar macro map
       val defined = scala.collection.mutable.Set[String]() ++ natives
       def define(name: String): Unit = {
         if (defined(name))
@@ -611,26 +719,21 @@ object KyeParser {
       // resolve to the MODEL NAME verbatim — models are parentless types —
       // and, like the reference's in-order TypeBuilder, only models
       // already defined above the use site are visible.
-      def rootType(name: String): String = {
-        @annotation.tailrec
-        def resolve(n: String, seen: Set[String]): String =
-          if (natives(n)) (if (n == "Integer") "Number" else n)
-          else if (seen(n))
-            throw new IllegalArgumentException(s"Circular type alias '$name'")
-          else typeAliases.get(n) match {
-            case Some(p) => resolve(p, seen + n) // alias chains resolve FIRST
-            case None if models.contains(n) || defined(n) =>
-              n // model-typed (FK) edge — visible from its own body too
-            case None => throw new IllegalArgumentException(s"Type $n not defined")
-          }
-        resolve(name, Set.empty)
-      }
+      def rootType(name: String): String =
+        if (natives(name)) (if (name == "Integer") "Number" else name)
+        else if (defined(name)) name // model-typed (FK) edge — visible from its own body too
+        else throw new IllegalArgumentException(s"Type $name not defined")
       for (s <- stmts) s match {
-        case SType(name, ETypeId(parent), _) =>
-          define(name); typeAliases(name) = parent
+        // only type statements still carrying refs reach the Builder
+        // (desugar macro-inlined the rest); the reference rejects them all
+        // [verified by execution]: an unresolved/cyclic alias asserts
+        // 'Type X not defined.' and an alias to a model name crashes
+        // compile — reject class either way
+        case SType(_, ETypeId(n), _) =>
+          throw new IllegalArgumentException(s"Type $n not defined.")
         case SType(name, other, _) =>
           throw new IllegalArgumentException(s"unsupported type def $name: $other")
-        case SModel(name, indexes, body, _) =>
+        case SModel(name, indexes, body, mloc) =>
           define(name) // raises on duplicates; visible to its own body
           val edges = scala.collection.mutable.LinkedHashMap[String, Edge]()
           val assertions = List.newBuilder[Assertion]
@@ -639,7 +742,7 @@ object KyeParser {
             // Types.define is a plain dict assignment, types.py:108-113 —
             // it even appends a duplicate edge_order entry); duplicate
             // MODEL names, by contrast, raise — see above
-            case SEdge(en, title, card, ETypeId(tn), _) =>
+            case SEdge(en, title, card, ETypeId(tn), eloc) =>
               val (none, many) = card match {
                 case Some('!') => (false, false)
                 case Some('?') => (true, false)
@@ -647,24 +750,28 @@ object KyeParser {
                 case Some('*') => (true, true)
                 case None => (false, false)
               }
+              // empty titles are dropped on serialization anyway
+              // (reference `if self.title:`, compiled.py:100) — keep the
+              // raw Option here, the writer filters
               edges(en) = Edge(model = name, name = en, none = none, many = many,
-                tpe = rootType(tn), title = title, expr = None, loc = None)
+                tpe = rootType(tn), title = title, expr = None, loc = Some(eloc.ref))
             case SEdge(en, _, _, other, _) =>
               throw new IllegalArgumentException(s"unsupported edge expr $en: $other")
-            case SAssert(expr, _) =>
+            case SAssert(expr, aloc) =>
               // msg = "" BY PARITY: the reference compiler also emits
               // empty messages for DSL assertions (compiler.py:60
               // `msg=''`); non-empty msgs exist only in hand-written
-              // artifacts
+              // artifacts. Desugar-synthesized assertions carry "-1:-1".
               assertions += Assertion(model = name, msg = "",
-                expr = toPostfix(expr), loc = None)
+                expr = toPostfix(expr), loc = Some(aloc.ref))
             case other =>
               throw new IllegalArgumentException(s"unsupported model statement $other")
           }
           for (ix <- indexes.flatten)
             require(edges.contains(ix), s"Index $ix not defined in model $name")
           models(name) = Model(name, indexes,
-            scala.collection.immutable.VectorMap.from(edges), assertions.result(), None)
+            scala.collection.immutable.VectorMap.from(edges), assertions.result(),
+            Some(mloc.ref))
         case SEdge(n, _, _, _, line) =>
           throw ParseError(s"edge '$n' outside a model", line.line)
         case SAssert(_, line) =>
@@ -673,52 +780,57 @@ object KyeParser {
       CompiledSchema(Map.empty, scala.collection.immutable.VectorMap.from(models))
     }
 
-    /** Expr tree → flat postfix with literal inlining. The reference
-      * inlines every VAL child into the parent's args regardless of
-      * position (`compiler.py:65-75`), which reorders operands of
-      * non-commutative ops when a literal appears on the LEFT (e.g.
-      * `5 < col` compiles to `col < 5`). We inline only suffix literals —
-      * identical artifacts for everything the corpus exercises, correct
-      * for literal-left comparisons (documented deviation). */
+    /** Intermediate Cmd TREE mirroring the reference TypeBuilder output
+      * (typ.Cmd with child Cmds and plain literal args interleaved,
+      * type_builder.py:131-186). */
+    private final case class CTree(op: Op, kids: List[Any]) // Any = CTree | raw literal
+
+    private def tree(e: Expr): CTree = e match {
+      case ELit(v) => CTree(Op.VAL, List(v))
+      case EEdgeId(n) => CTree(Op.COL, List(n))
+      case ERegex(_) =>
+        // TypeBuilder has no visit_regex: the visit returns None and the
+        // parent crashes on it — reject class
+        throw new IllegalArgumentException("bare regex in assertion")
+      case ETypeId(n) => throw new IllegalArgumentException(s"type $n in expression")
+      case EUnary("!", r) => CTree(Op.NOT, List(tree(r)))
+      case EUnary(op, _) => throw new IllegalArgumentException(s"unary $op unsupported")
+      case ECall("matches", List(obj, pat)) =>
+        // desugar-synthesized matches(edge, "pat"): both arguments are
+        // Cmd children; the VAL pattern inlines during flattening
+        CTree(Op.MATCHES, List(tree(obj), tree(pat)))
+      case ECall(c, _) => throw new IllegalArgumentException(s"call $c unsupported")
+      case EBinary("^", l, r) =>
+        // xor as (l | r) & !(l & r) — superset; the reference crashes on ^
+        // (TOKEN_TO_OP has no XOR, type_builder.py:10-24 — SURVEY §2.4-W4)
+        tree(EBinary("&", EBinary("|", l, r), EUnary("!", EBinary("&", l, r))))
+      case EBinary(op, l, r) =>
+        val opc = binOps.getOrElse(op,
+          throw new IllegalArgumentException(s"operator $op unsupported"))
+        CTree(opc, List(tree(l), tree(r)))
+    }
+
+    /** Exact port of the reference flattener (`compiler.py:65-75`,
+      * compile_expr): every VAL child inlines into the parent's args —
+      * REGARDLESS of position, so `5 < id` compiles to the same
+      * [{col:id},{lt:5.0}] the reference emits (and both VMs then evaluate
+      * id < 5: the artifact, not the source, is the contract) — plain
+      * literal args (COL names) keep their place, and non-VAL children
+      * flatten depth-first in child order. */
+    private def flatten(t: CTree, out: scala.collection.mutable.ListBuffer[Cmd]): Unit = {
+      val args = List.newBuilder[Any]
+      for (k <- t.kids) k match {
+        case c: CTree if c.op == Op.VAL => args += c.kids.head
+        case c: CTree => flatten(c, out)
+        case raw => args += raw
+      }
+      out += Cmd(t.op, args.result())
+    }
+
     private def toPostfix(e: Expr): List[Cmd] = {
-      def litVal(x: Expr): Option[Any] = x match {
-        case ELit(v) => Some(v)
-        case _ => None
-      }
-      // a regex literal lowers to its pattern string ONLY as a matches()
-      // argument (the reference grammar accepts `matches(col, /re/)`);
-      // inlining it for arbitrary operators would silently turn
-      // `name != /re/` into a plain string comparison
-      def patVal(x: Expr): Option[Any] = x match {
-        case ERegex(p) => Some(p)
-        case other => litVal(other)
-      }
-      e match {
-        case ELit(v) => List(Cmd(Op.VAL, List(v)))
-        case ERegex(p) => throw new IllegalArgumentException("bare regex in assertion")
-        case EEdgeId(n) => List(Cmd.one(Op.COL, n))
-        case ETypeId(n) => throw new IllegalArgumentException(s"type $n in expression")
-        case EUnary("!", r) => toPostfix(r) :+ Cmd(Op.NOT)
-        case EUnary(op, _) => throw new IllegalArgumentException(s"unary $op unsupported")
-        case ECall("matches", List(obj, pat)) =>
-          patVal(pat) match {
-            case Some(p) => toPostfix(obj) :+ Cmd(Op.MATCHES, List(p))
-            case None => toPostfix(obj) ++ toPostfix(pat) :+ Cmd(Op.MATCHES)
-          }
-        case ECall(c, _) => throw new IllegalArgumentException(s"call $c unsupported")
-        case EBinary("^", l, r) =>
-          // xor as (l | r) & !(l & r) — superset; reference cannot compile ^
-          toPostfix(EBinary("&",
-            EBinary("|", l, r), EUnary("!", EBinary("&", l, r))))
-        case EBinary(op, l, r) =>
-          val opc = binOps.getOrElse(op,
-            throw new IllegalArgumentException(s"operator $op unsupported"))
-          litVal(r) match {
-            case Some(v) if opc.matchesSignature(List(v)) =>
-              toPostfix(l) :+ Cmd(opc, List(v))
-            case _ => toPostfix(l) ++ toPostfix(r) :+ Cmd(opc)
-          }
-      }
+      val out = scala.collection.mutable.ListBuffer.empty[Cmd]
+      flatten(tree(e), out)
+      out.toList
     }
   }
 }

@@ -11,8 +11,10 @@ package graft.schema
   * the evaluation stack (`kye/compiled.py:8-26`). */
 final case class Cmd(op: Op, args: List[Any]) {
   def numStackArgs: Int = op.arity - args.length
-  require(numStackArgs >= 0, s"Too many inline args for ${op.opName}")
-  require(op.matchesSignature(args), s"Bad inline args for ${op.opName}: $args")
+  // NO construction-time validation BY PARITY: the reference validates
+  // only on artifact LOAD (parse_command, op.py:74-93) — its COMPILER
+  // freely emits shapes like {"not": true} or {"add": ["a","b"]} that its
+  // own loader would reject. Validation lives in CompiledSchema.parseCmd.
 }
 
 object Cmd {
@@ -100,13 +102,9 @@ object CompiledSchema {
   import scala.jdk.CollectionConverters._
 
   private val jsonMapper = new ObjectMapper()
-  // textual parity with the reference's writers (kye.py write_compiled):
-  // PyYAML emits no document-start marker and leaves plain scalars
-  // unquoted; Jackson's defaults ("---", quoted strings) would make every
-  // line of a `--compile` artifact diff against `kye -c` output
-  private val yamlMapper = new ObjectMapper(new YAMLFactory()
-    .disable(com.fasterxml.jackson.dataformat.yaml.YAMLGenerator.Feature.WRITE_DOC_START_MARKER)
-    .enable(com.fasterxml.jackson.dataformat.yaml.YAMLGenerator.Feature.MINIMIZE_QUOTES))
+  // READ-only: YAML artifacts are parsed with Jackson; writing goes through
+  // PyText.Yaml for byte parity with the reference's PyYAML output
+  private val yamlMapper = new ObjectMapper(new YAMLFactory())
 
   def fromJson(text: String): CompiledSchema = fromTree(jsonMapper.readTree(text))
   def fromYaml(text: String): CompiledSchema = fromTree(yamlMapper.readTree(text))
@@ -235,6 +233,10 @@ object CompiledSchema {
         if (argNode == null || argNode.isNull) Nil
         else if (argNode.isArray) argNode.elements().asScala.map(scalarValue).toList
         else List(scalarValue(argNode))
+      // load-time validation parity (reference parse_command asserts
+      // matches_signature, op.py:74-93; arity is implied by signature
+      // length). Compile-built Cmds are deliberately NOT validated.
+      require(op.matchesSignature(args), s"Bad inline args for ${op.opName}: $args")
       Cmd(op, args)
     }
 
@@ -257,24 +259,13 @@ object CompiledSchema {
       val typesNode = root.putObject("types")
       for ((name, t) <- schema.types) typesNode.set[ObjectNode](name, typeNode(t))
     }
-    if (yaml) yamlMapper.writeValueAsString(root)
-    else {
-      // match python json.dumps(indent=2): '"key": value' (no space
-      // before the colon) and one array element per line — Jackson's
-      // default pretty printer writes '"key" : value' with inline arrays,
-      // which diffs on every line against a `kye -c` artifact
-      import com.fasterxml.jackson.core.util.{DefaultIndenter, DefaultPrettyPrinter, Separators}
-      val pp = new DefaultPrettyPrinter()
-        .withSeparators(Separators.createDefaultInstance()
-          .withObjectFieldValueSpacing(Separators.Spacing.AFTER)
-          // python writes '[]'/'{}'; Jackson's default empty separator is
-          // a single space ('[ ]'), which would diff on every no-arg Cmd
-          .withArrayEmptySeparator("")
-          .withObjectEmptySeparator(""))
-        .withArrayIndenter(new DefaultIndenter("  ", "\n"))
-        .withObjectIndenter(new DefaultIndenter("  ", "\n"))
-      jsonMapper.writer(pp).writeValueAsString(root)
-    }
+    // byte parity with the reference's writers (kye.py:100-113): the
+    // PyText codecs reproduce json.dumps(indent=2, sort_keys=False) and
+    // PyYAML yaml.dump(sort_keys=False) exactly — incl. Python float repr,
+    // ensure_ascii escapes, YAML 1.1 quoting of numeric-looking strings,
+    // '' for empty strings, and 80-column scalar folding
+    if (yaml) PyText.Yaml.dump(root)
+    else PyText.Json.dumps(root)
   }
 
   private def putScalar(node: ObjectNode, field: String, v: Any): Unit = v match {
@@ -325,7 +316,9 @@ object CompiledSchema {
   private def edgeNode(e: Edge): ObjectNode = {
     val node = jsonMapper.createObjectNode()
     node.put("type", e.tpe)
-    e.title.foreach(node.put("title", _))
+    // Python truthiness: empty titles are omitted (`if self.title:`,
+    // compiled.py:100-101)
+    e.title.filter(_.nonEmpty).foreach(node.put("title", _))
     e.expr.filter(_.nonEmpty).foreach(x => node.set[ObjectNode]("expr", exprNode(x)))
     if (e.many) node.put("many", true)
     if (e.none) node.put("none", true)

@@ -19,7 +19,9 @@ sealed abstract class Op(val opName: String, val arity: Int, val sig: List[Strin
     if (args.length > sig.length) return false
     args.zip(sig).forall {
       case (a, "any")  => a.isInstanceOf[Int] || a.isInstanceOf[Long] || a.isInstanceOf[Double] || a.isInstanceOf[String] || a.isInstanceOf[Boolean]
-      case (a, "num")  => a.isInstanceOf[Int] || a.isInstanceOf[Long] || a.isInstanceOf[Double]
+      // Boolean accepted: Python `isinstance(True, int)` is True, so the
+      // reference's 'num' signature admits bools (op.py:61-62)
+      case (a, "num")  => a.isInstanceOf[Int] || a.isInstanceOf[Long] || a.isInstanceOf[Double] || a.isInstanceOf[Boolean]
       case (a, "bool") => a.isInstanceOf[Boolean]
       case (a, "str")  => a.isInstanceOf[String]
       case _           => false

@@ -117,38 +117,55 @@ class KyeParserSpec extends AnyFunSuite {
     val m = s.models("User")
     assert(m.edges("id").title.contains("User Id"))
     val a = m.assertions.head.expr
-    // ((id % 2 >= 0) AND (id*2-1 < 100)) with suffix literals inlined
+    // the reference grammar nests add_exp INSIDE mult_exp, so +/- bind
+    // TIGHTER than * and / [verified by execution]: `id * 2 - 1` is
+    // `id * (2 - 1)`, whose literal SUB stays unfolded (the enclosing MUL
+    // cannot fold, so only its view — discarded — saw the fold)
     assert(a == List(
       Cmd.one(Op.COL, "id"), Cmd(Op.MOD, List(2.0)), Cmd(Op.GE, List(0.0)),
-      Cmd.one(Op.COL, "id"), Cmd(Op.MUL, List(2.0)), Cmd(Op.SUB, List(1.0)),
+      Cmd.one(Op.COL, "id"), Cmd(Op.SUB, List(2.0, 1.0)), Cmd(Op.MUL),
       Cmd(Op.LT, List(100.0)), Cmd(Op.AND)))
   }
 
-  test("literal-left comparison keeps operand order (reference compiler would flip it)") {
+  test("literal-left comparison inlines like the reference compiler (operand flip wart)") {
     val s = KyeParser.compile(
-      """M(id) {
+      """Mx(id) {
         |  id: Number
         |  assert 5 < id
         |}""".stripMargin)
-    val a = s.models("M").assertions.head.expr
-    assert(a == List(Cmd(Op.VAL, List(5.0)), Cmd.one(Op.COL, "id"), Cmd(Op.LT)))
+    // compile_expr inlines EVERY VAL child regardless of position
+    // (compiler.py:65-75), so `5 < id` and `id < 5` produce the SAME
+    // artifact [verified by execution] — the artifact, which both VMs
+    // then evaluate as id < 5, is the contract
+    val a = s.models("Mx").assertions.head.expr
+    assert(a == List(Cmd.one(Op.COL, "id"), Cmd(Op.LT, List(5.0))))
   }
 
-  test("constant folding of literal arithmetic") {
+  test("constant folding is visible only at fold-chain roots") {
+    // (2+3)*1 folds in the VIEW, but visit_binary discards child results,
+    // so a non-folding root keeps the ORIGINAL subtree [verified by
+    // execution]: {add:[2,3]},{mul:1},{eq:[]}
     val s = KyeParser.compile(
-      """M(id) {
+      """Mx(id) {
         |  id: Number
         |  assert id == 2 + 3 * 1
         |}""".stripMargin)
-    // 3*1 folds to 3, 2+3 folds to 5 (desugar.py:142-155 folds bottom-up)
-    assert(s.models("M").assertions.head.expr ==
-      List(Cmd.one(Op.COL, "id"), Cmd(Op.EQ, List(5.0))))
+    assert(s.models("Mx").assertions.head.expr ==
+      List(Cmd.one(Op.COL, "id"), Cmd(Op.ADD, List(2.0, 3.0)),
+        Cmd(Op.MUL, List(1.0)), Cmd(Op.EQ)))
+    // ...while a root-level all-literal chain folds to a single VAL
+    val s2 = KyeParser.compile(
+      """Mx(id) {
+        |  id: Number
+        |  assert 2 + 3 * 1 == 5
+        |}""".stripMargin)
+    assert(s2.models("Mx").assertions.head.expr == List(Cmd(Op.VAL, List(true))))
   }
 
   test("unsupported constructs rejected like the reference") {
-    intercept[Exception](KyeParser.compile("M(id) { id: Number\n if id { } }"))
-    intercept[Exception](KyeParser.compile("M(id) { id: Number\n assert id.length }"))
-    intercept[Exception](KyeParser.compile("M(id) { id: Number\n assert foo(id) }"))
+    intercept[Exception](KyeParser.compile("Mx(id) { id: Number\n if id { } }"))
+    intercept[Exception](KyeParser.compile("Mx(id) { id: Number\n assert id.length }"))
+    intercept[Exception](KyeParser.compile("Mx(id) { id: Number\n assert foo(id) }"))
   }
 
   test("compiled schema validates end-to-end (parser -> validator parity)") {
@@ -216,27 +233,31 @@ class KyeParserSpec extends AnyFunSuite {
     }
   }
 
-  test("regex literal as a call argument lexes as regex, not division") {
-    val schema = KyeParser.compile(
-      """M(id) {
+  test("explicit matches() calls are rejected (reference Desugar has no visit_call)") {
+    // the reference CRASHES on any user-written call — even `matches` —
+    // because Desugar.visit_call is missing and the resulting None
+    // dereferences [verified by execution]; matches() is reachable ONLY
+    // via the regex edge-expr desugar. The regex argument must still LEX
+    // as a regex (not division) so the error is about the call itself.
+    val errs = KyeParser.compileEither(
+      """Mx(id) {
         |  id: Number
         |  name: String
         |  assert matches(name, /a+b/)
-        |}""".stripMargin)
-    val a = schema.models("M").assertions.head
-    assert(a.expr.exists(c => c.op == graft.schema.Op.MATCHES && c.args == List("a+b")),
-      s"expected matches with inlined pattern, got ${a.expr}")
+        |}""".stripMargin).left.getOrElse(Nil)
+    assert(errs.exists(_.msg.contains("call")), errs.map(_.msg).mkString("; "))
+    assert(!errs.exists(_.msg.contains("Unterminated")), errs.map(_.msg).mkString("; "))
   }
 
   test("malformed number literals report instead of crashing the lexer") {
-    val errs = KyeParser.compileEither("M(id) { id: Number\n assert id > 1.2.3 }")
+    val errs = KyeParser.compileEither("Mx(id) { id: Number\n assert id > 1.2.3 }")
       .left.getOrElse(Nil)
     assert(errs.exists(_.msg.contains("Invalid number literal")), errs.toString)
   }
 
   test("builder errors surface as CompileException, not raw stack traces") {
     val ex = intercept[KyeParser.CompileException](
-      KyeParser.compile("M(id) { id: Undefined }"))
+      KyeParser.compile("Mx(id) { id: Undefined }"))
     assert(ex.errors.head.msg.contains("Undefined"))
     val ex2 = intercept[KyeParser.CompileException](
       KyeParser.compile("name: String"))
@@ -245,24 +266,27 @@ class KyeParserSpec extends AnyFunSuite {
   }
 
   test("cyclic type aliases are a clean compile error, not an infinite loop") {
-    val self = KyeParser.compileEither("A: A\nM(id) { id: A }").left.getOrElse(Nil)
-    assert(self.exists(_.msg.toLowerCase.contains("circular")), s"got $self")
-    val mutual = KyeParser.compileEither("A: B\nB: A\nM(id) { id: A }").left.getOrElse(Nil)
-    assert(mutual.exists(_.msg.toLowerCase.contains("circular")), s"got $mutual")
+    // the reference asserts 'Type X not defined.' — a self/forward alias
+    // records itself as a ref, survives desugar, and TypeBuilder's
+    // visit_type_identifier rejects it [verified by execution]
+    val self = KyeParser.compileEither("Ax: Ax\nMx(id) { id: Ax }").left.getOrElse(Nil)
+    assert(self.exists(_.msg.contains("Type Ax not defined")), s"got $self")
+    val mutual = KyeParser.compileEither("Ax: Bx\nBx: Ax\nMx(id) { id: Ax }").left.getOrElse(Nil)
+    assert(mutual.exists(_.msg.contains("Type Bx not defined")), s"got $mutual")
   }
 
   test("strings cannot span a real newline (reference ESCAPED_STRING has no DOTALL)") {
     // lark's _STRING_INNER /.*?/ never matches a newline, so a string
     // containing one — shielded or not — is a lex error in the reference;
     // consuming past it here would mis-anchor every later error line
-    val src = "M(id) {\n  id \"a\\\nb\": Number\n  assert id > 1.2.3\n}"
+    val src = "Mx(id) {\n  id \"a\\\nb\": Number\n  assert id > 1.2.3\n}"
     val errs = KyeParser.compileEither(src).left.getOrElse(Nil)
     assert(errs.exists(_.msg.contains("Unterminated string")),
       errs.map(_.msg).mkString("; "))
   }
 
   test("hostile BLOCK nesting is also a clean compile error") {
-    val deep = "A{" * 5000
+    val deep = "Ab{" * 5000
     val e = intercept[KyeParser.CompileException](KyeParser.compile(deep))
     assert(e.errors.nonEmpty)
   }
@@ -272,20 +296,46 @@ class KyeParserSpec extends AnyFunSuite {
     assert(c.models("Category").edges("parent").tpe == "Category")
   }
 
-  test("alias and native redefinitions raise like the reference define()") {
+  test("redefinition semantics match the reference [all verified by execution]") {
+    // ALIAS redefinition is LAST-WINS (desugar macro map is a plain dict)
+    val lastWins = KyeParser.compile(
+      "Ca: \"X\"\nCa: \"Y\"\nModel(id) {\n  id: Number\n  e: Ca\n}\n")
+    assert(lastWins.models("Model").assertions.head.expr
+      .contains(Cmd(Op.EQ, List("Y"))), lastWins.toJson)
+    // ALIASES shadow even the native types (visit_type_identifier consults
+    // the macro map BEFORE the native table)
+    val shadow = KyeParser.compile(
+      "Number: \"x\"\nModel(id) {\n  id: Number\n}\n")
+    assert(shadow.models("Model").edges("id").tpe == "String", shadow.toJson)
+    assert(shadow.models("Model").assertions.head.expr
+      .contains(Cmd(Op.EQ, List("x"))), shadow.toJson)
+    // duplicate MODEL names raise (TypeBuilder.define asserts), and a
+    // MODEL named after a preloaded native raises too
     val e1 = intercept[KyeParser.CompileException](KyeParser.compile(
-      "User(id) {\n  id: Number\n}\nFoo: User\nFoo: User\n"))
+      "Moda(id) {\n  id: Number\n}\nModa(id) {\n  id: String\n}\n"))
     assert(e1.errors.exists(_.msg.contains("already defined")), e1.rendered)
     val e2 = intercept[KyeParser.CompileException](KyeParser.compile(
       "Number(id) {\n  id: String\n}\n"))
     assert(e2.errors.exists(_.msg.contains("already defined")),
-      "shadowing a preloaded native must raise: " + e2.rendered)
+      "a model shadowing a preloaded native must raise: " + e2.rendered)
+  }
+
+  test("a logical-operator alias crashes the reference on its SECOND edge use") {
+    // the desugar macro map shares ONE mutable tree; create_assertion
+    // mutates logical Binary nodes in place, so the second edge re-runs it
+    // over already-converted children and fails [verified by execution]
+    val one = KyeParser.compile(
+      "Ca: (\"A\" | \"B\")\nModel(id) {\n  id: Number\n  e: Ca\n}\n")
+    assert(one.models("Model").assertions.nonEmpty)
+    val e = intercept[KyeParser.CompileException](KyeParser.compile(
+      "Ca: (\"A\" | \"B\")\nModel(id) {\n  id: Number\n  e: Ca\n  f: Ca\n}\n"))
+    assert(e.errors.exists(_.msg.contains("Unable to resolve assertion")), e.rendered)
   }
 
   test("!(!(compound)) keeps the mutation visible through the discarded wrapper") {
     val c = KyeParser.compile(
-      "M(id) {\n  id: Number\n  x: String\n  x: !(!(\"a\"|\"b\"))\n}\n")
-    val ops = c.models("M").assertions.head.expr.map(_.op)
+      "Mx(id) {\n  id: Number\n  x: String\n  x: !(!(\"a\"|\"b\"))\n}\n")
+    val ops = c.models("Mx").assertions.head.expr.map(_.op)
     import graft.schema.Op._
     // x != !((x=="a") | (x=="b")) — the inner binary is mutated in place
     // and stays visible through the reused unary wrapper
@@ -303,11 +353,11 @@ class KyeParserSpec extends AnyFunSuite {
   }
 
   test("Integer edges compile to Number (ancestors[-1] walk)") {
-    val c = KyeParser.compile("M(id) {\n  id: Integer\n}\n")
-    assert(c.models("M").edges("id").tpe == "Number",
+    val c = KyeParser.compile("Mx(id) {\n  id: Integer\n}\n")
+    assert(c.models("Mx").edges("id").tpe == "Number",
       "native subtypes walk to the root ancestor like type/compiler.py:43-45")
-    val via = KyeParser.compile("Foo: Integer\nM(id) {\n  id: Foo\n}\n")
-    assert(via.models("M").edges("id").tpe == "Number")
+    val via = KyeParser.compile("Foo: Integer\nMx(id) {\n  id: Foo\n}\n")
+    assert(via.models("Mx").edges("id").tpe == "Number")
   }
 
   test("duplicate model names are a compile error, not last-wins") {
@@ -319,8 +369,8 @@ class KyeParserSpec extends AnyFunSuite {
   test("!(compound) desugars through the reference's in-place mutation") {
     // desugar.py's create_assertion mutates a LOGICAL operand before
     // reusing it: x: !("a"|"b") => x != ((x=="a") | (x=="b"))
-    val c = KyeParser.compile("M(id) {\n  id: Number\n  x: String\n  x: !(\"a\"|\"b\")\n}\n")
-    val expr = c.models("M").assertions.head.expr
+    val c = KyeParser.compile("Mx(id) {\n  id: Number\n  x: String\n  x: !(\"a\"|\"b\")\n}\n")
+    val expr = c.models("Mx").assertions.head.expr
     val ops = expr.map(_.op)
     import graft.schema.Op._
     assert(ops == List(COL, COL, EQ, COL, EQ, OR, NE),
@@ -328,8 +378,8 @@ class KyeParserSpec extends AnyFunSuite {
   }
 
   test("string literals keep escape sequences raw (reference lexeme[1:-1])") {
-    val c = KyeParser.compile("M(id) {\n  id: Number\n  x: String\n  x: \"a\\nb\"\n}\n")
-    val v = c.models("M").assertions.head.expr.collectFirst {
+    val c = KyeParser.compile("Mx(id) {\n  id: Number\n  x: String\n  x: \"a\\nb\"\n}\n")
+    val v = c.models("Mx").assertions.head.expr.collectFirst {
       case Cmd(Op.EQ, List(s: String)) => s
     }
     assert(v.contains("a\\nb"),
@@ -338,31 +388,31 @@ class KyeParserSpec extends AnyFunSuite {
 
   test("constant folding uses Python semantics") {
     // "a" + "b" folds to "ab" (string concat)
-    val cat = KyeParser.compile("M(id) {\n  id: Number\n  x: String\n  x: \"a\" + \"b\"\n}\n")
-    assert(cat.models("M").assertions.head.expr.exists {
+    val cat = KyeParser.compile("Mx(id) {\n  id: Number\n  x: String\n  x: \"a\" + \"b\"\n}\n")
+    assert(cat.models("Mx").assertions.head.expr.exists {
       case Cmd(Op.EQ, List("ab")) => true; case _ => false
     }, "string concat must fold")
     // TRUE == 1 folds to true (Python bools are ints) — Scala Any-equality
     // would fold false, a silently different artifact
-    val b = KyeParser.compile("M(id) {\n  id: Number\n  x: Boolean\n  x: TRUE == 1\n}\n")
-    assert(b.models("M").assertions.head.expr.exists {
+    val b = KyeParser.compile("Mx(id) {\n  id: Number\n  x: Boolean\n  x: TRUE == 1\n}\n")
+    assert(b.models("Mx").assertions.head.expr.exists {
       case Cmd(Op.EQ, List(true)) => true; case _ => false
-    }, s"TRUE == 1 must fold true: ${b.models("M").assertions.head.expr}")
+    }, s"TRUE == 1 must fold true: ${b.models("Mx").assertions.head.expr}")
     // division by a zero literal: clean compile error (reference crashes)
     val e = intercept[KyeParser.CompileException](
-      KyeParser.compile("M(id) {\n  id: Number\n  x: Number\n  x: 1 / 0\n}\n"))
+      KyeParser.compile("Mx(id) {\n  id: Number\n  x: Number\n  x: 1 / 0\n}\n"))
     assert(e.errors.exists(_.msg.contains("division by zero")), e.rendered)
   }
 
   test("hostile nesting is a clean compile error, not a StackOverflowError") {
-    val deep = "M(id) {\n  id: Number\n  assert " + "(" * 5000 + "1" + ")" * 5000 + " == 1\n}\n"
+    val deep = "Mx(id) {\n  id: Number\n  assert " + "(" * 5000 + "1" + ")" * 5000 + " == 1\n}\n"
     val e = intercept[KyeParser.CompileException](KyeParser.compile(deep))
     assert(e.errors.exists(_.msg.contains("nesting too deep")), e.rendered.take(500))
   }
 
   test("a regex cannot span lines; the unterminated slash reports, later statements survive") {
     val e = intercept[KyeParser.CompileException](KyeParser.compile(
-      "M(id) {\n  id: Number\n  x: String\n  x: /ab\n  y: Number\n}\n"))
+      "Mx(id) {\n  id: Number\n  x: String\n  x: /ab\n  y: Number\n}\n"))
     assert(e.errors.exists(_.msg.contains("Unterminated regex")), e.rendered)
   }
 }

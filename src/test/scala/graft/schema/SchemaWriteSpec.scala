@@ -91,4 +91,30 @@ class SchemaWriteSpec extends SparkSuite {
     // and byte-stable across a full round-trip
     assert(CompiledSchema.fromJson(schema.toJson).toJson === schema.toJson)
   }
+
+  test("YAML writer matches PyYAML byte-for-byte: '' empties, quoted numeric strings") {
+    // reference-generated expectation (yaml.dump(raw, sort_keys=False) on
+    // this exact artifact, PyYAML 6.0.3 in-sandbox): empty msg renders as
+    // '' (not \"\"), the numeric-looking string constant \"123\" is
+    // single-quoted so a YAML 1.1 reader keeps it a STRING, loc \"1:1\"
+    // quotes (sexagesimal int) while \"-1:-1\" stays plain
+    val schema = CompiledSchema.fromJson(
+      """{"models": {"Modx": {"index": "id", "edges": {
+        |  "id": {"type": "Number"},
+        |  "e": {"type": "String", "none": true}},
+        |  "assertions": [{"msg": "", "expr": [{"col": "e"}, {"eq": "123"}],
+        |    "loc": "-1:-1"}], "loc": "1:1"}}}""".stripMargin)
+    val expected =
+      "models:\n  Modx:\n    index: id\n    edges:\n      id:\n        type: Number\n" +
+        "      e:\n        type: String\n        none: true\n    assertions:\n" +
+        "    - msg: ''\n      expr:\n      - col: e\n      - eq: '123'\n      loc: -1:-1\n" +
+        "    loc: '1:1'\n"
+    assert(schema.toYaml == expected)
+    // round-trip keeps the quoted numeric string a STRING (the advice-item
+    // regression: MINIMIZE_QUOTES used to emit 123 bare and reparse a Long)
+    val re = CompiledSchema.fromYaml(schema.toYaml)
+    assert(re.models("Modx").assertions.head.expr.exists(c => c.args == List("123")),
+      re.toJson)
+    assert(re.toYaml == expected)
+  }
 }
