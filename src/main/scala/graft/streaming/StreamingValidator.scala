@@ -53,7 +53,17 @@ object StreamingValidator {
       .agg(count(lit(1)).as("n"))
 
   final case class TurnEvent(conv_id: String, turn_idx: Int)
+  /** Turn event with an optional event time for the full stateful check. */
+  final case class TsTurnEvent(conv_id: String, turn_idx: Int,
+                               ts: Option[java.sql.Timestamp])
   final case class DupViolation(conv_id: String, turn_idx: Int, kind: String)
+
+  /** Cross-batch state of [[statefulTranscriptCheck]]: one small tuple per
+    * live conversation — highest turn committed plus the last OBSERVED
+    * non-null event time (same discipline as the batch leg's
+    * `_prev_max_ts`: last observed in TURN order, not a running max, so
+    * one forward-skewed clock doesn't flag every later turn). */
+  final case class SeqCheckState(maxTurn: Int, lastTsMillis: Option[Long])
 
   /** Stateful duplicate/regression detector: state = max turn_idx per
     * conversation, carried ACROSS micro-batches. Emits `dup_or_regression`
@@ -89,45 +99,121 @@ object StreamingValidator {
   def statefulSequenceCheck(turns: Dataset[TurnEvent],
                             idleTimeoutMs: Long = 3600000L,
                             maxEventsPerBatch: Int = 1 << 20): Dataset[DupViolation] = {
+    import turns.sparkSession.implicits._
+    // delegate to the full check (identical state machine and state
+    // footprint) and keep the historical dup/overflow-only output surface
+    statefulTranscriptCheck(
+      turns.map(t => TsTurnEvent(t.conv_id, t.turn_idx, None)),
+      idleTimeoutMs, maxEventsPerBatch)
+      .filter(v => v.kind == "dup_or_regression" || v.kind == "batch_overflow")
+  }
+
+  /** Full stateful transcript check: the streaming analogue of the batch
+    * leg's DupKey + SeqGap + TsMonotone (TranscriptValidator.seqTable /
+    * keySequenceViolations), carried ACROSS micro-batches with bounded
+    * state. Per live conversation the state is ONE [[SeqCheckState]]
+    * tuple; per (conversation, micro-batch) at most `maxEventsPerBatch`
+    * events are buffered (the SMALLEST (turn_idx, ts) pairs in a
+    * deterministic bounded max-heap — a function of the batch's event
+    * multiset, not shuffle-arrival order).
+    *
+    * Emitted kinds:
+    *  - `dup_or_regression` — a turn at or below the max already seen
+    *    (in-batch duplicate or cross-batch replay/regression);
+    *  - `seq_gap` — a NEW turn that is not exactly maxSeen + 1 (first
+    *    contact must start at 0, matching the batch gapPred);
+    *  - `ts_regression` — a new turn whose earliest non-null event time
+    *    precedes the last OBSERVED non-null event time (null-ts turns are
+    *    spanned, not reset — a regression across an all-null-ts turn is
+    *    still caught, and the carry is last-observed rather than a running
+    *    max so one forward-skewed clock flags once, not N-1 times);
+    *  - `batch_overflow` — capacity verdict whose `turn_idx` carries the
+    *    count of unchecked evicted events (largest turns); their max turn
+    *    AND the event time of the largest evicted ts-bearing turn still
+    *    feed the state, so later batches stay exact. */
+  def statefulTranscriptCheck(turns: Dataset[TsTurnEvent],
+                              idleTimeoutMs: Long = 3600000L,
+                              maxEventsPerBatch: Int = 1 << 20): Dataset[DupViolation] = {
     require(maxEventsPerBatch >= 1, s"maxEventsPerBatch must be >= 1, got $maxEventsPerBatch")
     import turns.sparkSession.implicits._
     val timeoutMode =
       if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     turns.groupByKey(_.conv_id)
-      .flatMapGroupsWithState[Int, DupViolation](OutputMode.Append, timeoutMode) {
-        (convId: String, events: Iterator[TurnEvent], state: GroupState[Int]) =>
+      .flatMapGroupsWithState[SeqCheckState, DupViolation](OutputMode.Append, timeoutMode) {
+        (convId: String, events: Iterator[TsTurnEvent], state: GroupState[SeqCheckState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var maxSeen: Option[Int] = state.getOption
-            // bounded max-heap of the smallest turn indices: deterministic
-            // in the batch's event multiset, O(cap) memory, O(n log cap)
-            val heap = scala.collection.mutable.PriorityQueue.empty[Int]
+            var maxSeen: Option[Int] = state.getOption.map(_.maxTurn)
+            var lastTs: Option[Long] = state.getOption.flatMap(_.lastTsMillis)
+            // deterministic eviction order: (turn, tsMillis-or-MinValue) —
+            // equal keys are interchangeable
+            type Ev = (Int, Long)
+            val NoTs = Long.MinValue
+            val heap = scala.collection.mutable.PriorityQueue.empty[Ev](
+              Ordering.Tuple2[Int, Long])
             var overflowCount = 0L
-            var overflowMax = Int.MinValue
-            while (events.hasNext) {
-              val t = events.next().turn_idx
-              if (heap.size < maxEventsPerBatch) heap.enqueue(t)
-              else {
-                val evicted = if (t < heap.head) { val h = heap.dequeue(); heap.enqueue(t); h } else t
-                overflowCount += 1
-                if (evicted > overflowMax) overflowMax = evicted
+            var overflowMaxTurn = Int.MinValue
+            // largest evicted turn carrying a non-null ts (+ its max ts):
+            // the state's last-observed carry when the tail is evicted
+            var evTsTurn = Int.MinValue
+            var evTs = Long.MinValue
+            def noteEvicted(e: Ev): Unit = {
+              overflowCount += 1
+              if (e._1 > overflowMaxTurn) overflowMaxTurn = e._1
+              if (e._2 != NoTs &&
+                  (e._1 > evTsTurn || (e._1 == evTsTurn && e._2 > evTs))) {
+                evTsTurn = e._1; evTs = e._2
               }
             }
-            val out = heap.dequeueAll.toSeq.reverse.flatMap { (t: Int) =>
-              if (maxSeen.exists(t <= _))
-                Some(DupViolation(convId, t, "dup_or_regression"))
-              else { maxSeen = Some(t); None }
+            while (events.hasNext) {
+              val ev = events.next()
+              val e: Ev = (ev.turn_idx, ev.ts.map(_.getTime).getOrElse(NoTs))
+              if (heap.size < maxEventsPerBatch) heap.enqueue(e)
+              else if (Ordering.Tuple2[Int, Long].lt(e, heap.head)) {
+                val h = heap.dequeue(); heap.enqueue(e); noteEvicted(h)
+              } else noteEvicted(e)
             }
-            val overflow =
-              if (overflowCount > 0) {
-                maxSeen = Some(maxSeen.fold(overflowMax)(math.max(_, overflowMax)))
-                // Int cap is safe: a single group slice can't exceed 2^31 rows
-                Seq(DupViolation(convId, overflowCount.toInt, "batch_overflow"))
-              } else Nil
-            maxSeen.foreach(state.update)
+            val sorted = heap.dequeueAll.toIndexedSeq.reverse // ascending
+            val out = scala.collection.mutable.ListBuffer.empty[DupViolation]
+            var i = 0
+            while (i < sorted.length) {
+              val t = sorted(i)._1
+              // consume the run of events for this turn
+              var minTs = Long.MaxValue; var maxTs = Long.MinValue; var n = 0
+              while (i < sorted.length && sorted(i)._1 == t) {
+                val ts = sorted(i)._2
+                if (ts != NoTs) { if (ts < minTs) minTs = ts; if (ts > maxTs) maxTs = ts }
+                n += 1; i += 1
+              }
+              if (maxSeen.exists(t <= _)) {
+                // whole run is at/below the committed max
+                var k = 0; while (k < n) { out += DupViolation(convId, t, "dup_or_regression"); k += 1 }
+              } else {
+                // new turn: gap check vs expected (maxSeen+1, or 0 on
+                // first contact — batch gapPred parity)
+                val expected = maxSeen.map(_ + 1).getOrElse(0)
+                if (t != expected) out += DupViolation(convId, t, "seq_gap")
+                // ts-monotone vs last OBSERVED non-null ts
+                if (minTs != Long.MaxValue && lastTs.exists(minTs < _))
+                  out += DupViolation(convId, t, "ts_regression")
+                if (maxTs != Long.MinValue) lastTs = Some(maxTs)
+                maxSeen = Some(t)
+                // in-batch duplicates beyond the first event of the run
+                var k = 1; while (k < n) { out += DupViolation(convId, t, "dup_or_regression"); k += 1 }
+              }
+            }
+            if (overflowCount > 0) {
+              maxSeen = Some(maxSeen.fold(overflowMaxTurn)(math.max(_, overflowMaxTurn)))
+              // every evicted event sorts at/above every buffered one, so
+              // the evicted ts-bearing carry supersedes the buffered walk
+              if (evTsTurn != Int.MinValue) lastTs = Some(evTs)
+              // Int cap is safe: a single group slice can't exceed 2^31 rows
+              out += DupViolation(convId, overflowCount.toInt, "batch_overflow")
+            }
+            maxSeen.foreach(m => state.update(SeqCheckState(m, lastTs)))
             if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
-            (out ++ overflow).iterator
+            out.iterator
           }
       }
   }

@@ -210,4 +210,68 @@ class StreamingValidatorSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getInt(1))).toSet
     assert(got == Set(("c1", 1), ("c2", 3)))
   }
+
+  test("stateful transcript check: sequence gaps flagged across micro-batches") {
+    import spark.implicits._
+    import StreamingValidator.TsTurnEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TsTurnEvent]
+    val q = StreamingValidator.statefulTranscriptCheck(input.toDS(), idleTimeoutMs = 0)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_gap")
+      .start()
+    var stateRows = -1L
+    try {
+      // batch 1: g1 clean 0..2; g2 STARTS at 4 (first contact must be 0 —
+      // batch gapPred parity); g3 clean start
+      input.addData(TsTurnEvent("g1", 0, None), TsTurnEvent("g1", 1, None),
+        TsTurnEvent("g1", 2, None), TsTurnEvent("g2", 4, None), TsTurnEvent("g3", 0, None))
+      q.processAllAvailable()
+      // batch 2: g1 jumps 3 -> a GAP SPANNING the batch boundary (expected
+      // 3, got 5); g3 continues contiguously; g2 continues from its
+      // committed max without a new gap
+      input.addData(TsTurnEvent("g1", 5, None), TsTurnEvent("g3", 1, None),
+        TsTurnEvent("g2", 5, None))
+      q.processAllAvailable()
+      stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    } finally q.stop()
+    val got = spark.table("stream_gap").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(("g2", 4, "seq_gap"), ("g1", 5, "seq_gap")),
+      s"expected exactly the boundary-spanning and first-contact gaps: $got")
+    // bounded state: ONE row (one SeqCheckState tuple) per live conversation
+    assert(stateRows == 3, s"state must be one tuple per conversation, got $stateRows")
+  }
+
+  test("stateful transcript check: ts regression caught through a null-ts span") {
+    import spark.implicits._
+    import StreamingValidator.TsTurnEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TsTurnEvent]
+    val q = StreamingValidator.statefulTranscriptCheck(input.toDS(), idleTimeoutMs = 0)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_tsreg")
+      .start()
+    try {
+      // batch 1: t1 turn 0 at 10:30, turn 1 with NULL ts (the span)
+      input.addData(TsTurnEvent("t1", 0, Some(ts(30))), TsTurnEvent("t1", 1, None),
+        TsTurnEvent("t2", 0, Some(ts(10))))
+      q.processAllAvailable()
+      // batch 2: t1 turn 2 at 10:05 — BEFORE the last OBSERVED ts (10:30,
+      // carried across the null-ts turn AND the batch boundary); t2
+      // advances monotonically (no flag)
+      input.addData(TsTurnEvent("t1", 2, Some(ts(5))), TsTurnEvent("t2", 1, Some(ts(20))))
+      q.processAllAvailable()
+      // batch 3: after the regression, the carry is last-OBSERVED (10:05),
+      // not a running max — 10:15 is forward progress, no cascade
+      input.addData(TsTurnEvent("t1", 3, Some(ts(15))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_tsreg").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(("t1", 2, "ts_regression")),
+      s"one regression through the null span, no cascade after it: $got")
+  }
 }
