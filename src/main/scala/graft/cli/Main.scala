@@ -38,6 +38,20 @@ object Main {
     // usage line, not a cluster spin-up plus a 10^12-row pass
     val maxGroupValues = parsePositiveInt(opts, "max-group-values")
     val maxConcurrent = parsePositiveInt(opts, "max-concurrent").getOrElse(1)
+    // per-partition wall-clock budget for the checkpointed path (0 = no
+    // watcher); generous default in ResumableRunner
+    val partitionTimeoutMs: Long = opts.get("partition-timeout-ms").map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException =>
+          System.err.println(s"--partition-timeout-ms must be a non-negative integer, got '$v'")
+          usage(); sys.exit(2)
+      }
+      if (n < 0) {
+        System.err.println(s"--partition-timeout-ms must be >= 0, got $n")
+        usage(); sys.exit(2)
+      }
+      n
+    }.getOrElse(graft.transcript.ResumableRunner.DefaultPartitionTimeoutMs)
     // a silently-ignored option is a lie to the operator: concurrency only
     // exists on the checkpointed transcripts path
     if (maxConcurrent > 1 && (mode != "transcripts" || !opts.contains("checkpoint"))) {
@@ -57,7 +71,7 @@ object Main {
     val hadViolations =
       try {
         if (mode == "kye") runKye(spark, opts, maxGroupValues)
-        else runTranscripts(spark, opts, maxConcurrent)
+        else runTranscripts(spark, opts, maxConcurrent, partitionTimeoutMs)
       } catch {
         // error-exit paths must still stop the session (not lean on JVM
         // exit cleanup); re-throw after stopping
@@ -207,7 +221,8 @@ object Main {
   }
 
   private def runTranscripts(spark: SparkSession, opts: Map[String, String],
-                             maxConcurrent: Int): Boolean = {
+                             maxConcurrent: Int,
+                             partitionTimeoutMs: Long): Boolean = {
     // --content-digest: snapshot ids additionally hash each file's edge
     // blocks, so a same-length same-mtime rewrite (object-store copy with
     // preserved timestamps) still invalidates the partition's checkpoint
@@ -282,7 +297,7 @@ object Main {
         // accepts multi-threaded job submission; manifest commits stay
         // atomic per partition); validated in main() before Spark startup
         val summary = new ResumableRunner(source, manifest, validator, convKeys, sink,
-          maxConcurrent, driftCheck).run()
+          maxConcurrent, driftCheck, partitionTimeoutMs).run()
         allPartitionsValidated = summary.skipped.isEmpty
         // skipped partitions were NOT drift-checked — say so, or the
         // absence of drift lines reads as "no partition drifted"
@@ -390,5 +405,5 @@ object Main {
       |                 [--max-group-values K] [--skip-row-key-check]
       |  graft.cli.Main transcripts --table dir [--conv-keys path] [--checkpoint m.json]
       |                 [--violations out] [--baseline h.json] [--write-baseline h.json]
-      |                 [--content-digest] [--max-concurrent N]""".stripMargin)
+      |                 [--content-digest] [--max-concurrent N] [--partition-timeout-ms MS]""".stripMargin)
 }

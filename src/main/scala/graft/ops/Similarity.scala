@@ -169,6 +169,92 @@ object Similarity {
     centroids
   }
 
+  /** Persisted coarse quantizer: centroids + the digest of the corpus they
+    * were trained on. At 100 TB the operational pattern is many ANN
+    * invocations over an unchanged corpus — training is deterministic but
+    * not free (a bounded sample scan + driver k-means), so the artifact
+    * makes re-runs skip it, and the digest makes a stale artifact
+    * impossible to use silently. */
+  final case class CentroidIndex(corpusDigest: String, centroids: Array[Array[Double]])
+
+  /** Order-insensitive corpus digest over (id, vector) pairs: one small
+    * aggregate job (count + bit_xor of per-row hashes — no sum-overflow
+    * under ANSI, no ordering sensitivity). Excludes null/empty vectors,
+    * mirroring [[trainCentroids]]'s sample universe. */
+  def corpusDigest(df: DataFrame, idCol: String, vecCol: String): String = {
+    val r = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(xxhash64(col(idCol), col(vecCol).cast("array<double>")).as("_h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(_h)").as("x"))
+      .collect()(0)
+    s"${r.getLong(0)}:${java.lang.Long.toHexString(if (r.isNullAt(1)) 0L else r.getLong(1))}"
+  }
+
+  /** Write the centroid artifact (JSON) through the Hadoop FileSystem of
+    * the path's scheme — file:, hdfs:// and s3a:// all work, like the
+    * lineage layer. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession, path: String,
+                    index: CentroidIndex): Unit = {
+    val sb = new java.lang.StringBuilder
+    sb.append("{\"_format\":1,\"corpusDigest\":")
+      .append(graft.io.JsonText.quote(index.corpusDigest))
+      .append(",\"nLists\":").append(index.centroids.length)
+      .append(",\"dim\":").append(if (index.centroids.isEmpty) 0 else index.centroids.head.length)
+      .append(",\"centroids\":[")
+    var i = 0
+    while (i < index.centroids.length) {
+      if (i > 0) sb.append(',')
+      sb.append(index.centroids(i).mkString("[", ",", "]"))
+      i += 1
+    }
+    sb.append("]}")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a centroid artifact; None when the path does not exist. A
+    * malformed artifact raises (corrupt != absent). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Option[CentroidIndex] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      require(root.get("_format") != null && root.get("_format").asInt() == 1,
+        s"unsupported centroid artifact format in $path")
+      val cents = root.get("centroids")
+      val arr = Array.tabulate(cents.size()) { i =>
+        val row = cents.get(i)
+        Array.tabulate(row.size())(j => row.get(j).asDouble())
+      }
+      val dim = root.get("dim").asInt()
+      require(arr.forall(_.length == dim), s"ragged centroid artifact in $path")
+      Some(CentroidIndex(root.get("corpusDigest").asText(), arr))
+    }
+  }
+
+  /** Train-or-load: reuse the persisted centroids when their corpus digest
+    * matches the current corpus, retrain (and overwrite the artifact)
+    * otherwise. Returns the centroids plus whether training ran. */
+  def trainOrLoadCentroids(df: DataFrame, idCol: String, vecCol: String,
+                           nLists: Int, artifactPath: String,
+                           maxSamples: Int = 8192, iters: Int = 8): (Array[Array[Double]], Boolean) = {
+    val spark = df.sparkSession
+    val digest = corpusDigest(df, idCol, vecCol)
+    loadCentroids(spark, artifactPath) match {
+      case Some(idx) if idx.corpusDigest == digest => (idx.centroids, false)
+      case _ =>
+        val cents = trainCentroids(df, idCol, vecCol, nLists, maxSamples, iters)
+        saveCentroids(spark, artifactPath, CentroidIndex(digest, cents))
+        (cents, true)
+    }
+  }
+
   /** IVF approximate top-k: items live in their nearest-centroid cell
     * (ONE cell per item — the inverted file), queries probe their `nProbe`
     * nearest cells, exact cosine re-rank inside. The standard ANN scale

@@ -54,9 +54,12 @@ class ResumableRunner(
     convKeys: Option[DataFrame] = None,
     sink: Option[(Int, TranscriptReport) => Unit] = None,
     maxConcurrent: Int = 1,
-    driftCheck: Option[ResumableRunner.DriftCheck] = None) {
+    driftCheck: Option[ResumableRunner.DriftCheck] = None,
+    partitionTimeoutMs: Long = ResumableRunner.DefaultPartitionTimeoutMs) {
 
   require(maxConcurrent >= 1, s"maxConcurrent must be >= 1, got $maxConcurrent")
+  require(partitionTimeoutMs >= 0,
+    s"partitionTimeoutMs must be >= 0 (0 disables), got $partitionTimeoutMs")
 
   final case class RunSummary(
       validated: Seq[PartitionEntry],
@@ -73,27 +76,71 @@ class ResumableRunner(
     * makes every still-queued task bail BEFORE touching Spark, the sink,
     * or the manifest — matching sequential crash semantics (nothing new
     * launches after a failure; in-flight tasks finish and their commits
-    * remain valid completions). */
-  private def boundedTraverse[A, B](items: Seq[A])(f: A => B): Seq[B] =
-    if (maxConcurrent <= 1 || items.size <= 1) items.map(f)
+    * remain valid completions).
+    *
+    * With `partitionTimeoutMs > 0` the await is NOT `Duration.Inf`: a
+    * watcher wakes on a heartbeat, logs which partitions are in flight
+    * (a wedged 10^12-row run stays diagnosable), and when any task
+    * exceeds its wall-clock budget — e.g. an object store stalling a
+    * ranged GET forever — it fails the cohort LOUDLY with the wedged
+    * partitions named, interrupting the pool. Already-committed manifest
+    * entries stay valid; the run resumes past them after diagnosis.
+    * Sequential mode routes through a 1-thread pool for the same
+    * protection (plain `items.map(f)` could not be timed out). */
+  private def boundedTraverse[A, B](items: Seq[A], what: A => String)(f: A => B): Seq[B] =
+    if (items.isEmpty || (maxConcurrent <= 1 && partitionTimeoutMs <= 0)) items.map(f)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
       val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
-      try Await.result(
-        Future.traverse(items) { a =>
+      val inFlight = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      try {
+        val agg = Future.traverse(items) { a =>
           Future {
             if (failed.get())
               throw new java.util.concurrent.CancellationException(
                 "skipped: another partition in the cohort failed")
+            val key = what(a)
+            inFlight.put(key, System.nanoTime())
             try f(a)
             catch { case e: Throwable => failed.set(true); throw e }
+            finally inFlight.remove(key)
           }
-        },
-        Duration.Inf)
-      finally pool.shutdown()
+        }
+        val heartbeatMs =
+          if (partitionTimeoutMs > 0) math.max(250L, math.min(60000L, partitionTimeoutMs / 4))
+          else 60000L
+        while (!agg.isCompleted) {
+          try { Await.ready(agg, heartbeatMs.millis); () }
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              val now = System.nanoTime()
+              import scala.jdk.CollectionConverters._
+              val running = inFlight.asScala.toSeq
+                .map { case (k, t0) => k -> ((now - t0) / 1000000L) }
+                .sortBy(-_._2)
+              if (partitionTimeoutMs > 0) {
+                val wedged = running.filter(_._2 > partitionTimeoutMs)
+                if (wedged.nonEmpty) {
+                  failed.set(true)
+                  pool.shutdownNow() // interrupt the wedged tasks
+                  throw new java.util.concurrent.TimeoutException(
+                    s"cohort failed: ${wedged.size} partition task(s) exceeded the " +
+                      s"$partitionTimeoutMs ms budget: " +
+                      wedged.map { case (k, ms) => s"$k (${ms} ms)" }.mkString(", ") +
+                      " — completed partitions remain committed in the manifest; " +
+                      "resume skips them after the wedged partition is diagnosed")
+                }
+              }
+              if (running.nonEmpty) System.err.println(
+                s"[resumable] heartbeat: ${running.size} in flight — " +
+                  running.take(8).map { case (k, ms) => s"$k ${ms}ms" }.mkString(", "))
+          }
+        }
+        Await.result(agg, Duration.Zero)
+      } finally pool.shutdown()
     }
 
   def run(): RunSummary = {
@@ -109,7 +156,8 @@ class ResumableRunner(
     // object store it is two ranged GETs per file, and a serial prelude
     // over thousands of partitions would idle the cluster before any
     // validation begins.
-    val snaps = boundedTraverse(source.partitionIds())(p => p -> source.partitionSnapshotId(p))
+    val snaps = boundedTraverse(source.partitionIds(), (p: Int) => s"snapshot p=$p")(
+      p => p -> source.partitionSnapshotId(p))
     val (skipped, todo) = snaps.partition { case (p, snap) =>
       manifest.isComplete(p, snap, cHash)
     }
@@ -160,13 +208,22 @@ class ResumableRunner(
       report.cleanup()
       entry
     }
-    val validated = boundedTraverse(todo) { case (p, snap) => validateOne(p, snap) }
+    val validated = boundedTraverse(todo, (e: (Int, String)) => s"validate p=${e._1}") {
+      case (p, snap) => validateOne(p, snap)
+    }
     RunSummary(validated, skip,
       validated.map(_.rowsScanned).sum, validated.map(_.violations).sum)
   }
 }
 
 object ResumableRunner {
+
+  /** Default per-partition wall-clock budget: generous (6 h) so healthy
+    * giant partitions never trip it, while a ranged GET an object store
+    * stalls FOREVER still fails loudly instead of wedging the run. 0
+    * disables the watcher (pure Duration.Inf semantics). */
+  val DefaultPartitionTimeoutMs: Long = 6L * 3600 * 1000
+
   /** One validated partition's drift outcome: verdicts for baseline-covered
     * metrics, both asymmetry directions surfaced by name, and the raw
     * histograms (additive across partitions — callers can sum them into a

@@ -197,6 +197,44 @@ class SimilarityTextSpec extends SparkSuite {
     emb.unpersist()
   }
 
+  test("IVF centroid artifact: round-trip, reuse on unchanged corpus, retrain on change") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val dir = java.nio.file.Files.createTempDirectory("centroids").toString
+    val path = s"$dir/ivf_centroids.json"
+    assert(Similarity.loadCentroids(spark, path).isEmpty, "absent artifact is None")
+    // first invocation trains and persists
+    val (c1, trained1) = Similarity.trainOrLoadCentroids(emb, "vec_id", "embedding", 16, path)
+    assert(trained1, "first run must train")
+    // artifact round-trips exactly (doubles via JVM toString round-trip)
+    val loaded = Similarity.loadCentroids(spark, path).get
+    assert(loaded.centroids.map(_.toSeq).toSeq == c1.map(_.toSeq).toSeq)
+    // second invocation over the UNCHANGED corpus skips training
+    val (c2, trained2) = Similarity.trainOrLoadCentroids(emb, "vec_id", "embedding", 16, path)
+    assert(!trained2, "unchanged corpus must reuse the artifact")
+    assert(c2.map(_.toSeq).toSeq == c1.map(_.toSeq).toSeq)
+    // ...and serves the same query results as a fresh training
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val viaArtifact = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 1, c2, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet
+    assert((0L until 5L).forall(q => viaArtifact.contains((q, q))))
+    // a corpus change flips the digest -> retrain + overwrite
+    val changed = emb.filter(col("vec_id") =!= 0)
+    val (_, trained3) = Similarity.trainOrLoadCentroids(changed, "vec_id", "embedding", 16, path)
+    assert(trained3, "changed corpus must retrain")
+    assert(Similarity.loadCentroids(spark, path).get.corpusDigest ==
+      Similarity.corpusDigest(changed, "vec_id", "embedding"))
+    // corrupt artifact raises (corrupt != absent) — written through the
+    // same Hadoop FS so the local checksum sidecar stays consistent
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write("{\"_format\":9}".getBytes("UTF-8")) finally out.close()
+    intercept[IllegalArgumentException](Similarity.loadCentroids(spark, path))
+    emb.unpersist()
+  }
+
   test("IVF recall on clustered data whose cluster structure correlates with id order") {
     // 10 clusters laid out BY id (cluster = id/300): the round-2 sampler
     // (lowest-512-ids) would train k-means on clusters 0-1 only and recall

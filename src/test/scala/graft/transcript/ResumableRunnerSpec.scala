@@ -198,6 +198,44 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(ok.validated.map(_.partitionId).sorted == Seq(0, 1, 2, 3))
   }
 
+  test("wedged partition trips the wall-clock watcher loudly; manifest stays intact") {
+    val root = tmpDir("hang")
+    val data = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 40, seed = 23, numPartitions = 3))
+    ParquetPartitionedSource.write(data, root)
+    val source = new ParquetPartitionedSource(spark, root)
+    val mpath = s"${tmpDir("hm")}/m.json"
+    // sink hangs FOREVER on partition 2 (an object store stalling a ranged
+    // GET); partitions 0 and 1 complete and commit first on the 1-thread
+    // pool, then the watcher (small budget for the test) must fail the
+    // cohort LOUDLY with the wedged partition named — not await
+    // Duration.Inf — and interrupt the hung task
+    val hung: (Int, TranscriptReport) => Unit = (p, _) =>
+      if (p == 2) {
+        // pool.shutdownNow() interrupts the sleep; a real stalled client
+        // surfaces that as an IO failure — the partition must NOT commit
+        try Thread.sleep(Long.MaxValue)
+        catch { case e: InterruptedException =>
+          throw new RuntimeException("interrupted mid-GET", e)
+        }
+      }
+    val e = intercept[java.util.concurrent.TimeoutException] {
+      new ResumableRunner(source, new CheckpointManifest(mpath),
+        new TranscriptValidator(), None, Some(hung),
+        maxConcurrent = 1, partitionTimeoutMs = 8000L).run()
+    }
+    assert(e.getMessage.contains("validate p=2") && e.getMessage.contains("budget"),
+      s"the wedged partition must be named: ${e.getMessage}")
+    // completed partitions stayed committed (manifest intact), the wedged
+    // one did not commit — a resume with a healthy sink finishes only it
+    val committed = new CheckpointManifest(mpath).load().keySet
+    assert(committed == Set(0, 1), s"manifest must keep completed partitions: $committed")
+    val resumed = new ResumableRunner(source, new CheckpointManifest(mpath),
+      new TranscriptValidator(), None, None).run()
+    assert(resumed.validated.map(_.partitionId) == Seq(2) &&
+      resumed.skipped.sorted == Seq(0, 1))
+  }
+
   test("per-partition drift: skewed partition flags, matching passes, uncovered metric surfaces") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
