@@ -441,10 +441,33 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
           val (cols1, cols2) = fieldPlans.flatten.unzip
           val p1 = gdf.select(keyCols(cols1).as("_v"), col("_key"))
           val p2 = gdf.select(keyCols(cols2).as("_v"), col("_key"))
-          val t = p1.union(p2)
+          // ONE exchange for both consumers: the explicit repartition(_v)
+          // makes the groupBy reuse it (same key, no second exchange) and
+          // the conflicts join-back land partition-local on both sides
+          // (conflicts inherits _v partitioning from its groupBy;
+          // shuffle_hash blocks a broadcast that would ERASE the exchange
+          // boundary and re-run the union per consumer — the round-2
+          // jaccard lesson). Net: the 2N-row union is computed and
+          // shuffled ONCE instead of twice.
+          // ONE exchange + ONE materialization for both consumers: cache
+          // the union AFTER the explicit repartition(_v) — the cached
+          // relation keeps its HashPartitioning(_v), so the conflicts
+          // groupBy adds no new exchange and the join-back is
+          // partition-local on both sides (shuffle_hash blocks a broadcast
+          // that would erase the boundary and re-run the union per
+          // consumer — the round-2 jaccard lesson). Plain exchange reuse
+          // would also serve, but AQE stage reuse does not match
+          // exchanges whose children scan an InMemoryRelation (verified
+          // empirically on 4.1) and gdf IS cached, so materialize t once
+          // instead. The isNotNull is semantics-preserving — the inner
+          // join never matched null key values (mirroring the reference's
+          // dropped NaN group labels) — and keeps the cache slim.
+          val t = cached(p1.union(p2).filter(col("_v").isNotNull).repartition(col("_v")))
           val conflicts = t.groupBy("_v").agg(countDistinct(col("_key")).as("_n"))
             .filter(col("_n") > 1).select("_v")
-          val affected = t.join(conflicts, "_v").select(col("_key")).distinct()
+          val affected = t.hint("shuffle_hash")
+            .join(conflicts.hint("shuffle_hash"), "_v")
+            .select(col("_key")).distinct()
           affectedKeySets += affected
           val edgesOut = (idx1 ++ idx2).distinct
           violations += keyedRows

@@ -158,6 +158,59 @@ class ValidatorEdgeCaseSpec extends SparkSuite {
     assert(result.survivors.get.count() === 0)
   }
 
+  test("S7 plan: the key-projection union is exchanged ONCE (ReusedExchange)") {
+    // the conflicts groupBy and the affected join-back both consume the
+    // repartition(_v)'d union; without the explicit repartition +
+    // shuffle_hash hints a broadcast join erased the exchange boundary and
+    // RE-RAN the 2N-row union per consumer (the worst-query cost in
+    // q_kye_index_conflict)
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"indexes": ["k1", "k2"], "edges": {
+        |  "k1": {"type": "Number"}, "k2": {"type": "Number"}}}}}""".stripMargin)
+    val data = df(
+      StructType(Seq(
+        StructField("k1", LongType), StructField("k2", LongType),
+        StructField("_row", LongType, nullable = false))),
+      (0L until 200L).map(i => Row(i, i + 1, i)))
+    val result = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", data)
+    val vio = result.violations.filter("err = 'IndexConflict'")
+    vio.collect() // final AQE shape appears only in the post-run executedPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def planTree(p: SparkPlan): Seq[SparkPlan] = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(planTree)
+    }
+    val nodes = planTree(vio.queryExecution.executedPlan)
+    // t (the repartitioned key-projection union) is CACHED: both consumers
+    // must scan the SAME in-memory relation...
+    val tScans = nodes.collect {
+      case s: InMemoryTableScanExec if s.output.map(_.name).toSet.subsetOf(Set("_v", "_key")) =>
+        // relation instances are planning-time copies; the cacheBuilder is
+        // the shared identity of the materialized cache
+        System.identityHashCode(s.relation.cacheBuilder)
+    }
+    assert(tScans.size >= 2 && tScans.distinct.size == 1,
+      s"both S7 consumers must read one materialized t, got ${tScans.size} scans " +
+        s"of ${tScans.distinct.size} relations")
+    // ...and since the cache preserves HashPartitioning(_v), neither
+    // consumer may re-shuffle it (the one _v exchange lives INSIDE the
+    // cached plan and ran once at materialization)
+    val vExchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("_v") => e
+    }
+    assert(vExchanges.isEmpty,
+      s"no consumer-side _v exchange expected, got:\n${vExchanges.mkString("\n")}")
+  }
+
   test("S4: zero-edge constant assertion emits violation rows with null col") {
     val schema = CompiledSchema.load(
       """{"models": {"M": {"index": "id",
