@@ -52,11 +52,18 @@ object Main {
       }
       n
     }.getOrElse(graft.transcript.ResumableRunner.DefaultPartitionTimeoutMs)
-    // a silently-ignored option is a lie to the operator: concurrency only
-    // exists on the checkpointed transcripts path
+    // a silently-ignored option is a lie to the operator: concurrency and
+    // the partition wall-clock watcher only exist on the checkpointed
+    // transcripts path
     if (maxConcurrent > 1 && (mode != "transcripts" || !opts.contains("checkpoint"))) {
       System.err.println("--max-concurrent requires transcripts mode with --checkpoint " +
         "(partition-wise validation); it has no effect elsewhere")
+      usage(); sys.exit(2)
+    }
+    if (opts.contains("partition-timeout-ms") &&
+        (mode != "transcripts" || !opts.contains("checkpoint"))) {
+      System.err.println("--partition-timeout-ms requires transcripts mode with " +
+        "--checkpoint (partition-wise validation); it has no effect elsewhere")
       usage(); sys.exit(2)
     }
     val spark = SparkSession.builder()

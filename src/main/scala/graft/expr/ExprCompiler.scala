@@ -172,7 +172,16 @@ object ExprCompiler {
   }
 
   private def binop(cmd: Cmd, stackArgs: List[Column])(f: (Column, Column) => Column): Column = {
-    val ops = stackArgs ++ cmd.args.map(litArg)
+    // Boolean inline args coerce to 0/1 for the numeric-signature ops:
+    // Python bools are ints, so the reference loads {"add": true} (num
+    // signature admits bool) and its VM computes col + 1 — an uncoerced
+    // lit(true) here would throw DATATYPE_MISMATCH mid-validation instead
+    val arith = NanProducingOps.contains(cmd.op) // ADD SUB MUL DIV MOD (+CAST/NEG, argless)
+    def argCol(a: Any): Column = a match {
+      case b: Boolean if arith => lit(if (b) 1 else 0)
+      case other => litArg(other)
+    }
+    val ops = stackArgs ++ cmd.args.map(argCol)
     require(ops.size == 2, s"${cmd.op.opName} needs 2 operands, got ${ops.size}")
     f(ops(0), ops(1))
   }

@@ -178,15 +178,27 @@ object Similarity {
   final case class CentroidIndex(corpusDigest: String, centroids: Array[Array[Double]])
 
   /** Order-insensitive corpus digest over (id, vector) pairs: one small
-    * aggregate job (count + bit_xor of per-row hashes — no sum-overflow
-    * under ANSI, no ordering sensitivity). Excludes null/empty vectors,
-    * mirroring [[trainCentroids]]'s sample universe. */
+    * aggregate job over per-row hashes. count + bit_xor alone is NOT
+    * enough — xor cancels duplicate rows pairwise, so {A,A} and {B,B}
+    * would collide — so a decimal(38,0) SUM of the hashes rides along
+    * (1e12 rows × 2^63 ≈ 1e31 « 1e38, no ANSI overflow, still
+    * order-insensitive). Excludes null/empty vectors, mirroring
+    * [[trainCentroids]]'s sample universe.
+    *
+    * COST NOTE: this scans the full (id, vector) projection — about the
+    * same I/O as the bounded training scan it lets you skip. When cheap
+    * lineage exists (e.g. partition content digests from the lineage
+    * layer), pass it to the `digest`-taking [[trainOrLoadCentroids]]
+    * overload instead of calling this. */
   def corpusDigest(df: DataFrame, idCol: String, vecCol: String): String = {
     val r = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(xxhash64(col(idCol), col(vecCol).cast("array<double>")).as("_h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(_h)").as("x"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(_h)").as("x"),
+           sum(col("_h").cast("decimal(38,0)")).as("s"))
       .collect()(0)
-    s"${r.getLong(0)}:${java.lang.Long.toHexString(if (r.isNullAt(1)) 0L else r.getLong(1))}"
+    val x = java.lang.Long.toHexString(if (r.isNullAt(1)) 0L else r.getLong(1))
+    val s = if (r.isNullAt(2)) "0" else r.getDecimal(2).toBigInteger.toString(16)
+    s"${r.getLong(0)}:$x:$s"
   }
 
   /** Write the centroid artifact (JSON) through the Hadoop FileSystem of
@@ -209,9 +221,17 @@ object Similarity {
     sb.append("]}")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // atomic commit: write a temp sibling, then rename over the final
+    // path. A crash mid-write leaves either the old artifact or a stale
+    // .tmp next to it — never truncated JSON at the final path, which
+    // loadCentroids would (by design) treat as corrupt and RAISE on
+    // every subsequent run (same pattern as the checkpoint manifest)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"failed to commit centroid artifact to $path")
   }
 
   /** Load a centroid artifact; None when the path does not exist. A
@@ -228,24 +248,45 @@ object Similarity {
       require(root.get("_format") != null && root.get("_format").asInt() == 1,
         s"unsupported centroid artifact format in $path")
       val cents = root.get("centroids")
+      val digestNode = root.get("corpusDigest")
+      val dimNode = root.get("dim")
+      require(cents != null && cents.isArray && digestNode != null && dimNode != null,
+        s"malformed centroid artifact in $path (missing centroids/corpusDigest/dim)")
       val arr = Array.tabulate(cents.size()) { i =>
         val row = cents.get(i)
         Array.tabulate(row.size())(j => row.get(j).asDouble())
       }
-      val dim = root.get("dim").asInt()
+      val dim = dimNode.asInt()
       require(arr.forall(_.length == dim), s"ragged centroid artifact in $path")
-      Some(CentroidIndex(root.get("corpusDigest").asText(), arr))
+      Some(CentroidIndex(digestNode.asText(), arr))
     }
   }
 
   /** Train-or-load: reuse the persisted centroids when their corpus digest
     * matches the current corpus, retrain (and overwrite the artifact)
-    * otherwise. Returns the centroids plus whether training ran. */
+    * otherwise. Returns the centroids plus whether training ran.
+    *
+    * This overload computes [[corpusDigest]] itself — a full scan of the
+    * (id, vector) projection, roughly the cost of the bounded training
+    * scan it can skip. It buys change DETECTION, not scan avoidance; when
+    * the caller already has cheap lineage (partition content digests, a
+    * table snapshot id), use the explicit-`digest` overload below and the
+    * cache hit costs no row I/O at all. */
   def trainOrLoadCentroids(df: DataFrame, idCol: String, vecCol: String,
                            nLists: Int, artifactPath: String,
-                           maxSamples: Int = 8192, iters: Int = 8): (Array[Array[Double]], Boolean) = {
+                           maxSamples: Int = 8192, iters: Int = 8): (Array[Array[Double]], Boolean) =
+    trainOrLoadCentroids(df, idCol, vecCol, nLists, artifactPath,
+      corpusDigest(df, idCol, vecCol), maxSamples, iters)
+
+  /** Train-or-load keyed by a CALLER-SUPPLIED corpus digest (e.g. the
+    * lineage layer's partition content digest) — the 100 TB pattern: a
+    * cache hit is one small artifact read, zero row scans. The caller owns
+    * digest fidelity: a key that does not change when the corpus does will
+    * serve stale centroids. */
+  def trainOrLoadCentroids(df: DataFrame, idCol: String, vecCol: String,
+                           nLists: Int, artifactPath: String, digest: String,
+                           maxSamples: Int, iters: Int): (Array[Array[Double]], Boolean) = {
     val spark = df.sparkSession
-    val digest = corpusDigest(df, idCol, vecCol)
     loadCentroids(spark, artifactPath) match {
       case Some(idx) if idx.corpusDigest == digest => (idx.centroids, false)
       case _ =>

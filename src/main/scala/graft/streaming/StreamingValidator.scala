@@ -99,13 +99,53 @@ object StreamingValidator {
   def statefulSequenceCheck(turns: Dataset[TurnEvent],
                             idleTimeoutMs: Long = 3600000L,
                             maxEventsPerBatch: Int = 1 << 20): Dataset[DupViolation] = {
+    // NOT a delegate to statefulTranscriptCheck: that would change this
+    // check's state type from Int to SeqCheckState and break restore of
+    // every existing streaming checkpoint (the state store schema check
+    // fails at restart, forcing a wipe). Existing deployments keep their
+    // Int state; new deployments wanting gaps/ts-monotonicity start on
+    // statefulTranscriptCheck.
+    require(maxEventsPerBatch >= 1, s"maxEventsPerBatch must be >= 1, got $maxEventsPerBatch")
     import turns.sparkSession.implicits._
-    // delegate to the full check (identical state machine and state
-    // footprint) and keep the historical dup/overflow-only output surface
-    statefulTranscriptCheck(
-      turns.map(t => TsTurnEvent(t.conv_id, t.turn_idx, None)),
-      idleTimeoutMs, maxEventsPerBatch)
-      .filter(v => v.kind == "dup_or_regression" || v.kind == "batch_overflow")
+    val timeoutMode =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[Int, DupViolation](OutputMode.Append, timeoutMode) {
+        (convId: String, events: Iterator[TurnEvent], state: GroupState[Int]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var maxSeen: Option[Int] = state.getOption
+            // bounded max-heap of the smallest turn indices: deterministic
+            // in the batch's event multiset, O(cap) memory, O(n log cap)
+            val heap = scala.collection.mutable.PriorityQueue.empty[Int]
+            var overflowCount = 0L
+            var overflowMax = Int.MinValue
+            while (events.hasNext) {
+              val t = events.next().turn_idx
+              if (heap.size < maxEventsPerBatch) heap.enqueue(t)
+              else {
+                val evicted = if (t < heap.head) { val h = heap.dequeue(); heap.enqueue(t); h } else t
+                overflowCount += 1
+                if (evicted > overflowMax) overflowMax = evicted
+              }
+            }
+            val out = heap.dequeueAll.toSeq.reverse.flatMap { (t: Int) =>
+              if (maxSeen.exists(t <= _))
+                Some(DupViolation(convId, t, "dup_or_regression"))
+              else { maxSeen = Some(t); None }
+            }
+            val overflow =
+              if (overflowCount > 0) {
+                maxSeen = Some(maxSeen.fold(overflowMax)(math.max(_, overflowMax)))
+                // Int cap is safe: a single group slice can't exceed 2^31 rows
+                Seq(DupViolation(convId, overflowCount.toInt, "batch_overflow"))
+              } else Nil
+            maxSeen.foreach(state.update)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            (out ++ overflow).iterator
+          }
+      }
   }
 
   /** Full stateful transcript check: the streaming analogue of the batch
@@ -120,8 +160,12 @@ object StreamingValidator {
     * Emitted kinds:
     *  - `dup_or_regression` — a turn at or below the max already seen
     *    (in-batch duplicate or cross-batch replay/regression);
-    *  - `seq_gap` — a NEW turn that is not exactly maxSeen + 1 (first
-    *    contact must start at 0, matching the batch gapPred);
+    *  - `seq_gap` — a NEW turn that is not exactly maxSeen + 1. The
+    *    batch-parity FIRST-CONTACT rule (turn 0 starts a conversation) is
+    *    enforced only when `idleTimeoutMs == 0`: with idle eviction on, a
+    *    conversation resuming after its state was retired is
+    *    indistinguishable from a new one, and enforcing 0 would fabricate
+    *    a gap for every long-idle conversation;
     *  - `ts_regression` — a new turn whose earliest non-null event time
     *    precedes the last OBSERVED non-null event time (null-ts turns are
     *    spanned, not reset — a regression across an all-null-ts turn is
@@ -130,7 +174,16 @@ object StreamingValidator {
     *  - `batch_overflow` — capacity verdict whose `turn_idx` carries the
     *    count of unchecked evicted events (largest turns); their max turn
     *    AND the event time of the largest evicted ts-bearing turn still
-    *    feed the state, so later batches stay exact. */
+    *    feed the state, so later batches stay exact.
+    *
+    * OPERATIONAL: `idleTimeoutMs > 0` registers processing-time timers,
+    * and a continuous query with the default `ProcessingTime(0)` trigger
+    * then runs empty micro-batches BACK-TO-BACK just to fire them — each
+    * paying a full state-store commit, with delta files accumulating
+    * faster than the maintenance thread snapshots them. Pair timeout mode
+    * with a real trigger interval (e.g. `Trigger.ProcessingTime("30
+    * seconds")`) or with bounded `Trigger.AvailableNow` runs over a
+    * shared checkpoint. */
   def statefulTranscriptCheck(turns: Dataset[TsTurnEvent],
                               idleTimeoutMs: Long = 3600000L,
                               maxEventsPerBatch: Int = 1 << 20): Dataset[DupViolation] = {
@@ -146,6 +199,11 @@ object StreamingValidator {
           else {
             var maxSeen: Option[Int] = state.getOption.map(_.maxTurn)
             var lastTs: Option[Long] = state.getOption.flatMap(_.lastTsMillis)
+            // committed max BEFORE this batch: the evicted-tail ts carry
+            // must not rewind lastTs when the tail is all replays at or
+            // below it (the buffered dup branch leaves lastTs untouched
+            // for exactly that case)
+            val priorMax: Option[Int] = maxSeen
             // deterministic eviction order: (turn, tsMillis-or-MinValue) —
             // equal keys are interchangeable
             type Ev = (Int, Long)
@@ -190,10 +248,14 @@ object StreamingValidator {
                 // whole run is at/below the committed max
                 var k = 0; while (k < n) { out += DupViolation(convId, t, "dup_or_regression"); k += 1 }
               } else {
-                // new turn: gap check vs expected (maxSeen+1, or 0 on
-                // first contact — batch gapPred parity)
-                val expected = maxSeen.map(_ + 1).getOrElse(0)
-                if (t != expected) out += DupViolation(convId, t, "seq_gap")
+                // new turn: gap check vs expected. First contact enforces
+                // turn 0 (batch gapPred parity) ONLY when idle eviction is
+                // off — with eviction, absent state may mean "retired",
+                // not "new conversation"
+                maxSeen match {
+                  case Some(m) => if (t != m + 1) out += DupViolation(convId, t, "seq_gap")
+                  case None => if (idleTimeoutMs <= 0 && t != 0) out += DupViolation(convId, t, "seq_gap")
+                }
                 // ts-monotone vs last OBSERVED non-null ts
                 if (minTs != Long.MaxValue && lastTs.exists(minTs < _))
                   out += DupViolation(convId, t, "ts_regression")
@@ -206,8 +268,13 @@ object StreamingValidator {
             if (overflowCount > 0) {
               maxSeen = Some(maxSeen.fold(overflowMaxTurn)(math.max(_, overflowMaxTurn)))
               // every evicted event sorts at/above every buffered one, so
-              // the evicted ts-bearing carry supersedes the buffered walk
-              if (evTsTurn != Int.MinValue) lastTs = Some(evTs)
+              // the evicted ts-bearing carry supersedes the buffered walk —
+              // but ONLY when that turn advances past the pre-batch
+              // committed max: an evicted tail of pure replays must not
+              // rewind lastTs (the buffered dup branch leaves it untouched
+              // for the same reason)
+              if (evTsTurn != Int.MinValue && priorMax.forall(evTsTurn > _))
+                lastTs = Some(evTs)
               // Int cap is safe: a single group slice can't exceed 2^31 rows
               out += DupViolation(convId, overflowCount.toInt, "batch_overflow")
             }

@@ -441,14 +441,6 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
           val (cols1, cols2) = fieldPlans.flatten.unzip
           val p1 = gdf.select(keyCols(cols1).as("_v"), col("_key"))
           val p2 = gdf.select(keyCols(cols2).as("_v"), col("_key"))
-          // ONE exchange for both consumers: the explicit repartition(_v)
-          // makes the groupBy reuse it (same key, no second exchange) and
-          // the conflicts join-back land partition-local on both sides
-          // (conflicts inherits _v partitioning from its groupBy;
-          // shuffle_hash blocks a broadcast that would ERASE the exchange
-          // boundary and re-run the union per consumer — the round-2
-          // jaccard lesson). Net: the 2N-row union is computed and
-          // shuffled ONCE instead of twice.
           // ONE exchange + ONE materialization for both consumers: cache
           // the union AFTER the explicit repartition(_v) — the cached
           // relation keeps its HashPartitioning(_v), so the conflicts

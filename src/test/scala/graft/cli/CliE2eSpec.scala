@@ -74,4 +74,14 @@ class CliE2eSpec extends SparkSuite {
     assert(!out.contains("SparkContext"), "must fail before Spark startup")
     assert(dtSec < 30, s"usage error must be fast, took $dtSec s")
   }
+
+  test("--partition-timeout-ms outside the checkpointed transcripts path is a usage error") {
+    // same contract as --max-concurrent: the watcher only exists on the
+    // checkpointed path, so accepting the flag elsewhere would be a lie
+    val (code, out) = runCli("transcripts", "--table", "/nonexistent",
+      "--partition-timeout-ms", "60000")
+    assert(code == 2, s"usage error expected, got $code:\n${out.takeRight(800)}")
+    assert(out.contains("--partition-timeout-ms requires"), out.takeRight(800))
+    assert(!out.contains("SparkContext"), "must fail before Spark startup")
+  }
 }

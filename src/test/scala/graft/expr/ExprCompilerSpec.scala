@@ -27,6 +27,15 @@ class ExprCompilerSpec extends SparkSuite {
     assert(evalD(List(Cmd.one(COL, "a"), Cmd(NEG))) == Seq(-1.0, 2.0, -7.0))
   }
 
+  test("boolean inline args coerce to 0/1 in arithmetic ops (Python bool-is-int)") {
+    // the reference compiles `x + TRUE` to {"add": true} (bools pass the
+    // 'num' signature) and its VM computes col + 1; an uncoerced
+    // lit(true) here threw DATATYPE_MISMATCH at evaluation
+    assert(evalD(List(Cmd.one(COL, "a"), Cmd(ADD, List(true)))) == Seq(2.0, -1.0, 8.0))
+    assert(evalD(List(Cmd.one(COL, "a"), Cmd(MUL, List(false)))) == Seq(0.0, -0.0, 0.0))
+    assert(evalD(List(Cmd.one(COL, "a"), Cmd(SUB, List(true)))) == Seq(0.0, -3.0, 6.0))
+  }
+
   test("floor-mod parity with pandas on negatives") {
     // pandas: -2 % 3 == 1 (sign of divisor); Java % would give -2
     assert(evalD(List(Cmd.one(COL, "a"), Cmd(VAL, List(3.0)), Cmd(MOD))) == Seq(1.0, 1.0, 1.0))

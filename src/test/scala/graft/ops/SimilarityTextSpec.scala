@@ -232,7 +232,48 @@ class SimilarityTextSpec extends SparkSuite {
     val out = fs.create(hp, true)
     try out.write("{\"_format\":9}".getBytes("UTF-8")) finally out.close()
     intercept[IllegalArgumentException](Similarity.loadCentroids(spark, path))
+    // right format but missing keys must raise the guard, not NPE
+    val out2 = fs.create(hp, true)
+    try out2.write("{\"_format\":1}".getBytes("UTF-8")) finally out2.close()
+    val e = intercept[IllegalArgumentException](Similarity.loadCentroids(spark, path))
+    assert(e.getMessage.contains("malformed centroid artifact"), e.getMessage)
+    // the atomic commit leaves no .tmp sibling behind
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".tmp")),
+      "save must rename its temp file away")
     emb.unpersist()
+  }
+
+  test("corpus digest: duplicate-row corpora do not collide (xor pair-cancellation)") {
+    import spark.implicits._
+    // {A,A} vs {B,B}: per-row hashes xor to 0 in both — the decimal-sum
+    // component must keep the digests distinct
+    val a = Seq((1L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq((2L, Seq(0.0f, 1.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val da = Similarity.corpusDigest(a, "vec_id", "embedding")
+    val db = Similarity.corpusDigest(b, "vec_id", "embedding")
+    assert(da != db, s"pairwise-duplicated corpora must not share a digest: $da")
+    // same rows, different order -> same digest (order-insensitive)
+    val a2 = Seq((1L, Seq(1.0f, 0.0f)), (3L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val a2r = Seq((3L, Seq(0.5f, 0.5f)), (1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.corpusDigest(a2, "vec_id", "embedding") ==
+      Similarity.corpusDigest(a2r, "vec_id", "embedding"))
+  }
+
+  test("caller-supplied digest keys the centroid artifact without a corpus scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("centroids_lineage").toString
+    val path = s"$dir/ivf_centroids.json"
+    val (c1, trained1) = Similarity.trainOrLoadCentroids(
+      emb, "vec_id", "embedding", 16, path, "snapshot-v1", 8192, 8)
+    assert(trained1)
+    // same lineage key -> reuse, even though we never digested the rows
+    val (c2, trained2) = Similarity.trainOrLoadCentroids(
+      emb, "vec_id", "embedding", 16, path, "snapshot-v1", 8192, 8)
+    assert(!trained2 && c2.map(_.toSeq).toSeq == c1.map(_.toSeq).toSeq)
+    // lineage key moved -> retrain
+    val (_, trained3) = Similarity.trainOrLoadCentroids(
+      emb, "vec_id", "embedding", 16, path, "snapshot-v2", 8192, 8)
+    assert(trained3, "a changed lineage key must retrain")
   }
 
   test("IVF recall on clustered data whose cluster structure correlates with id order") {

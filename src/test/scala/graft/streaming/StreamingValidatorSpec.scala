@@ -274,4 +274,86 @@ class StreamingValidatorSpec extends SparkSuite {
     assert(got == Set(("t1", 2, "ts_regression")),
       s"one regression through the null span, no cascade after it: $got")
   }
+
+  test("stateful transcript check: idle eviction suppresses the first-contact gap rule") {
+    import spark.implicits._
+    import StreamingValidator.TsTurnEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TsTurnEvent]
+    // idleTimeoutMs > 0 registers processing-time timers, and a continuous
+    // query with the default ProcessingTime(0) trigger then schedules
+    // empty micro-batches BACK-TO-BACK to fire them — state-store delta
+    // chains outrun the maintenance thread and the test livelocks. Drive
+    // timeout-mode queries with bounded AvailableNow runs over a shared
+    // checkpoint instead (state carries across restarts).
+    val ckpt = java.nio.file.Files.createTempDirectory("idle_gap_ckpt").toString
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+    def runBatch(): Set[(String, Int, String)] = {
+      // memory sink cannot recover a checkpoint; foreachBatch can
+      sunk.clear()
+      val q = StreamingValidator.statefulTranscriptCheck(input.toDS(),
+          idleTimeoutMs = 3600000L)
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingValidator.DupViolation], _: Long) =>
+          sunk.synchronized { sunk ++= df.collect().map(v => (v.conv_id, v.turn_idx, v.kind)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // processing-time timers keep even AvailableNow alive (it schedules
+      // empty batches to fire them), so awaitTermination never returns:
+      // poll until the batch that consumed our input commits, then stop
+      try {
+        val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+        while (System.nanoTime < deadline &&
+               !q.recentProgress.exists(_.numInputRows > 0)) Thread.sleep(100)
+        assert(q.recentProgress.exists(_.numInputRows > 0), "input batch never committed")
+      } finally q.stop()
+      sunk.synchronized(sunk.toSet)
+    }
+    // idleTimeoutMs > 0: absent state can mean "retired by the timeout",
+    // so a conversation first seen at turn 42 must NOT fabricate a gap
+    input.addData(TsTurnEvent("resumed", 42, None))
+    val run1 = runBatch()
+    assert(run1.isEmpty, s"no first-contact gap under eviction: $run1")
+    // the cross-batch gap rule still applies once state exists
+    input.addData(TsTurnEvent("resumed", 45, None))
+    val run2 = runBatch()
+    assert(run2 == Set(("resumed", 45, "seq_gap")),
+      s"boundary gaps still flag once state exists: $run2")
+  }
+
+  test("stateful transcript check: a replay-flood overflow must not rewind the ts carry") {
+    import spark.implicits._
+    import StreamingValidator.TsTurnEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2026-02-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TsTurnEvent]
+    val q = StreamingValidator.statefulTranscriptCheck(input.toDS(),
+        idleTimeoutMs = 0, maxEventsPerBatch = 10)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_rewind")
+      .start()
+    try {
+      // batch 1: clean turns 0..59, ts advancing — carry ends at ts(59)
+      input.addData((0 until 60).map(i => TsTurnEvent("r", i, Some(ts(i)))): _*)
+      q.processAllAvailable()
+      // batch 2: replay FLOOD of turns 0..49 with their OLD timestamps;
+      // 40 evicted past the cap of 10 — all at/below the committed max,
+      // so the ts carry must stay ts(59), not rewind to ts(49)
+      input.addData((0 until 50).map(i => TsTurnEvent("r", i, Some(ts(i)))): _*)
+      q.processAllAvailable()
+      // batch 3: a genuinely NEW turn whose ts is before ts(59) — a real
+      // regression that a rewound carry would have missed
+      input.addData(TsTurnEvent("r", 60, Some(ts(55))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_rewind").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got.contains(("r", 60, "ts_regression")),
+      s"regression vs the un-rewound carry must flag: $got")
+    assert(!got.exists(v => v._3 == "seq_gap"), s"no gaps in this scenario: $got")
+  }
 }
