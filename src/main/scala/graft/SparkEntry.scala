@@ -477,12 +477,15 @@ object SparkEntry {
         | event_type || '!' AS etype_bang,
         | regexp_matches(event_type, 's.g') AS etype_re,
         | CAST(value AS VARCHAR) AS value_str,
-        | -- reference logical semantics (verified empirically): an absent
-        | -- (null) operand coerces to FALSE; the result is null only when
-        | -- BOTH operands are (event_id is never null, so never here)
-        | COALESCE(CASE WHEN value IS NULL THEN NULL
-        |               ELSE value > 50 AND value <= 150 END, FALSE)
-        |   OR event_id < 10 AS band_or_early,
+        | -- reference logical semantics (verified empirically, incl. the
+        | -- runtime fuzz campaign): an absent LEFT operand makes the OR
+        | -- result FALSE regardless of the right side (pandas NaN-poisons
+        | -- the row, then fills the result NaN with False); a present left
+        | -- sees the right coerced to FALSE; null only when BOTH absent
+        | -- (event_id is never null, so never here)
+        | CASE WHEN value IS NULL THEN FALSE
+        |      ELSE (value > 50 AND value <= 150) OR event_id < 10
+        | END AS band_or_early,
         | -- na/def see only PRESENT values (reference dropna): null rows
         | -- stay absent (NULL), present rows are false/true
         | CASE WHEN props IS NOT NULL THEN FALSE END AS props_na,
@@ -511,7 +514,11 @@ object SparkEntry {
       """WITH t AS (SELECT event_id AS k1, event_id + 1 AS k2 FROM events),
         | u AS (SELECT k1 AS v, k1 AS key FROM t UNION ALL SELECT k2 AS v, k1 AS key FROM t),
         | bad AS (SELECT v FROM u GROUP BY v HAVING count(DISTINCT key) > 1),
-        | affected AS (SELECT DISTINCT key FROM u JOIN bad USING (v))
+        | -- reference multiplicity: one entry per (key, sub-index side)
+        | -- occurrence whose key value conflicts — a row colliding through
+        | -- BOTH its sub-keys is listed twice per edge (kyepy
+        | -- loader.py:190-196; runtime-fuzz case 0198)
+        | affected AS (SELECT key FROM u JOIN bad USING (v))
         |SELECT 'IndexConflict' AS err, key AS row_id, c.col_name
         |FROM affected CROSS JOIN (VALUES ('k1'), ('k2')) AS c(col_name)""".stripMargin,
     "q_transcript_uniqueness" ->

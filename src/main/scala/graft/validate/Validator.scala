@@ -162,6 +162,18 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       // so a float cast of "NaN" or an Infinity*0 makes the row absent
       import graft.expr.ExprCompiler.nanToNull
       def nanRef(name: String): Column = nanSafeCol(df, name)
+      // declared-type tags for bool-is-int coercion (Python bools are
+      // ints: the reference computes `col - True` / `col < True` as
+      // numeric ops) — the post-S3 Spark schema is ground truth here
+      def tagOf(dt: DataType): ExprCompiler.Tag = dt match {
+        case BooleanType                   => ExprCompiler.Tag.Bool
+        case _: NumericType                => ExprCompiler.Tag.Num
+        case s if s.isInstanceOf[StringType] => ExprCompiler.Tag.Str
+        case _                             => ExprCompiler.Tag.Unknown
+      }
+      val fieldIdx = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val schemaTag: String => ExprCompiler.Tag =
+        n => fieldIdx.get(n).map(tagOf).getOrElse(ExprCompiler.Tag.Unknown)
       // Array-typed (many-cardinality) edges: the reference explodes and
       // evaluates PER ELEMENT — one violation entry per strictly-failing
       // non-null element (result[~result] carries duplicate row labels),
@@ -180,7 +192,8 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
               case _ => e
             }
             def perElem(e: Column): Column =
-              ExprCompiler.compile(a.expr, elemRef(e), nanAbsent = true)
+              ExprCompiler.compile(a.expr, elemRef(e), nanAbsent = true,
+                colTag = _ => tagOf(elemType))
             val arr = col(edge)
             val fails = filter(arr, e => !coalesce(perElem(e), lit(true)))
             val anyEval = exists(arr, e => perElem(e).isNotNull)
@@ -194,7 +207,8 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
                   "other edges — multi-edge assertions over many-valued columns are " +
                   "not supported (the reference runs single-edge assertions only)")
             }
-            Compiled(ExprCompiler.compile(a.expr, nanRef, nanAbsent = true))
+            Compiled(ExprCompiler.compile(a.expr, nanRef, nanAbsent = true,
+              colTag = schemaTag))
         }
       val compiled = applicable.map(a => a -> compileAssertion(a))
       val rawPreds = compiled.map { case (a, c) => a -> c.pred }
@@ -457,13 +471,19 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
           val t = cached(p1.union(p2).filter(col("_v").isNotNull).repartition(col("_v")))
           val conflicts = t.groupBy("_v").agg(countDistinct(col("_key")).as("_n"))
             .filter(col("_n") > 1).select("_v")
-          val affected = t.hint("shuffle_hash")
+          // one occurrence per (key, sub-index side) whose key VALUE group
+          // conflicts — NOT a distinct key set: the reference lists a row
+          // once per invalid occurrence in the concatenated series
+          // (loader.py:190-196, `t[...]` before dedup), so a row whose
+          // idx1-key AND idx2-key both collide is reported TWICE per edge
+          // (runtime-fuzz case 0198, seed 5002)
+          val occurrences = t.hint("shuffle_hash")
             .join(conflicts.hint("shuffle_hash"), "_v")
-            .select(col("_key")).distinct()
-          affectedKeySets += affected
+            .select(col("_key"))
+          affectedKeySets += occurrences.distinct()
           val edgesOut = (idx1 ++ idx2).distinct
           violations += keyedRows
-            .join(affected, keyedRows("_key") <=> affected("_key"))
+            .join(occurrences, keyedRows("_key") <=> occurrences("_key"))
             .select(
             lit("IndexConflict").as("err"), lit(model.name).as("model"),
             col(rowId).cast(LongType).as("row"),

@@ -69,24 +69,77 @@ class ExprCompilerSpec extends SparkSuite {
     assert(de == Seq(true, null), s"def: present->true, absent->absent, got $de")
   }
 
-  test("AND/OR coerce an absent operand to false; absent only when both absent") {
-    // reference (pandas logical ops): NaN-aligned operand acts as False —
-    // NOT Spark Kleene 3VL (null&&true=null, null||true=true). Verified
-    // empirically: (x>5)&def(y) on (x=null,y=5) is False (a REPORTED
-    // violation), not vacuous; on (null,null) the row is absent.
+  test("AND/OR null semantics are ASYMMETRIC (pandas left-NaN-poison rule)") {
+    // reference (pandas logical ops), verified empirically incl. the
+    // runtime fuzz campaign (cases 0037/0239): a missing LEFT operand
+    // NaN-poisons the row and the result NaN is filled FALSE — so
+    // `absent | true` is False (a REPORTED violation), while a missing
+    // RIGHT operand is filled False BEFORE the op (`true | absent` = True).
+    // Absent (null) only when BOTH sides are. NOT Spark Kleene 3VL.
     import spark.implicits._
     val d = Seq((Some(3.0), Some(5.0)), (None, Some(5.0)), (Some(7.0), Some(9.0)),
-      (None, None), (Some(200.0), Some(1.0))).toDF("x", "y")
+      (None, None), (Some(200.0), Some(1.0)), (None, Some(9.0))).toDF("x", "y")
     val andP = ExprCompiler.compile(List(
       Cmd.one(COL, "x"), Cmd.one(GT, 5.0),
       Cmd.one(COL, "y"), Cmd(DEF), Cmd(AND)))
     assert(d.select(andP).collect().map(_.get(0)).toSeq ==
-      Seq(false, false, true, null, true))
+      Seq(false, false, true, null, true, false))
     val orP = ExprCompiler.compile(List(
       Cmd.one(COL, "x"), Cmd(NA),
       Cmd.one(COL, "y"), Cmd.one(GT, 5.0), Cmd(OR)))
+    // row 2 (x=null, y=5): left absent, right false -> false
+    // row 6 (x=null, y=9): left absent, right TRUE -> still false
     assert(d.select(orP).collect().map(_.get(0)).toSeq ==
-      Seq(false, false, true, null, false))
+      Seq(false, false, true, null, false, false))
+    // right-absent with left TRUE stays true (right pre-filled False)
+    val orR = ExprCompiler.compile(List(
+      Cmd.one(COL, "y"), Cmd(DEF),
+      Cmd.one(COL, "x"), Cmd.one(GT, 5.0), Cmd(OR)))
+    assert(d.select(orR).collect().map(_.get(0)).toSeq ==
+      Seq(true, true, true, null, true, true))
+  }
+
+  test("MOD and DIV by zero follow pandas (NaN / IEEE inf), not ANSI errors") {
+    import spark.implicits._
+    val d = Seq(Some(7.0), Some(-7.0), Some(0.0), None).toDF("x")
+    val mod0 = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd.one(MOD, 0.0)))).collect().map(_.get(0)).toSeq
+    assert(mod0.take(3).forall(v => v.asInstanceOf[Double].isNaN), s"x % 0 must be NaN, got $mod0")
+    assert(mod0(3) == null, "null % 0 stays null")
+    // nanAbsent (assertion) mode: the NaN is dropped -> NULL -> vacuous
+    val mod0a = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd.one(MOD, 0.0)), nanAbsent = true)).collect().map(_.get(0)).toSeq
+    assert(mod0a == Seq(null, null, null, null), s"assertion mode: x % 0 absent, got $mod0a")
+    val div0 = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd.one(DIV, 0.0)))).collect().map(_.get(0)).toSeq
+    assert(div0(0) == Double.PositiveInfinity && div0(1) == Double.NegativeInfinity,
+      s"x/0 IEEE inf, got $div0")
+    assert(div0(2).asInstanceOf[Double].isNaN && div0(3) == null, s"0/0 NaN, null/0 null, got $div0")
+  }
+
+  test("boolean operands coerce to numbers on arith and numeric comparisons") {
+    // Python bool-is-int: the reference VM computes `x - True` as x - 1
+    // and `x < True` as x < 1.0 (runtime-fuzz crash cases 0154/0168)
+    import spark.implicits._
+    val d = Seq(0.5, 2.0).toDF("x")
+    val sub = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd(VAL, List(true)), Cmd(SUB)))).collect().map(_.getDouble(0)).toSeq
+    assert(sub == Seq(-0.5, 1.0), s"x - true = x - 1, got $sub")
+    val lt = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd(VAL, List(true)), Cmd(LT)),
+      colTag = _ => ExprCompiler.Tag.Num)).collect().map(_.getBoolean(0)).toSeq
+    assert(lt == Seq(true, false), s"x < true = x < 1.0, got $lt")
+    // inline form on a comparison coerces the same way
+    val ge = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd(GE, List(true))),
+      colTag = _ => ExprCompiler.Tag.Num)).collect().map(_.getBoolean(0)).toSeq
+    assert(ge == Seq(false, true), s"x >= true = x >= 1.0, got $ge")
+    // bool-vs-bool equality stays boolean (any-signature `flag == true`)
+    val fd = Seq(true, false).toDF("flag")
+    val eqB = fd.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "flag"), Cmd(EQ, List(true))),
+      colTag = _ => ExprCompiler.Tag.Bool)).collect().map(_.getBoolean(0)).toSeq
+    assert(eqB == Seq(true, false))
   }
 
   test("integral inline literals stay exact above 2^53") {

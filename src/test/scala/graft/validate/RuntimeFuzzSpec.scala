@@ -1,0 +1,65 @@
+package graft.validate
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.SparkSuite
+import graft.schema.CompiledSchema
+
+import scala.jdk.CollectionConverters._
+
+/** Runtime differential-fuzz parity: replays reference-produced fixtures
+  * (tools/fuzz_runtime_ref.py driving the kyepy pandas Loader over
+  * generated (artifact, table) pairs) under `strictReferenceParity` and
+  * requires the exact violation multiset + survivor count.
+  *
+  * Two checked-in corpora:
+  *   - `regressions.json` — the minimized divergence cases the fuzz
+  *     campaigns found (seeds 5001/5002, ~800 generated cases): the
+  *     asymmetric pandas OR null rule (0037/0239), bool-is-int operands
+  *     on arithmetic/comparisons (0154/0168), MOD-by-zero NaN
+  *     (0156/0259), IEEE division by zero (0283), and dual-side
+  *     index-conflict multiplicity (0198).
+  *   - `corpus_seed5003.json` — a pinned-seed random corpus (60 cases)
+  *     regenerable with
+  *     `python3 tools/fuzz_runtime_ref.py gen <out> --n 60 --seed 5003`.
+  *
+  * Cases where the reference itself crashed (`crash` field) assert only
+  * that our engine completes cleanly — the documented deviation class
+  * (e.g. misaligned-label Series comparisons, mixed per-element array
+  * verdicts).
+  */
+class RuntimeFuzzSpec extends SparkSuite {
+
+  // the generator is python json.dump, which emits bare NaN literals for
+  // float('nan') fixture values (deliberate NaN==missing probes)
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.enable(com.fasterxml.jackson.core.json.JsonReadFeature
+      .ALLOW_NON_NUMERIC_NUMBERS.mappedFeature())
+    m
+  }
+
+  private def resource(path: String): JsonNode = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing test resource $path")
+    try mapper.readTree(in) finally in.close()
+  }
+
+  private def replayFile(name: String): Unit = {
+    val blocks = resource(s"/runtime_fuzz/$name").elements().asScala.toList
+    for (block <- blocks; t <- block.get("tests").elements().asScala) {
+      val testName = t.get("test").asText()
+      test(s"$name :: $testName") {
+        val schema = CompiledSchema.load(
+          mapper.writeValueAsString(block.get("artifactInline")))
+        val refCrashed = t.hasNonNull("crash")
+        val out = CorpusReplay.runCase(spark, schema, t)
+        // reference crash -> we must merely complete (runCase not throwing
+        // IS the assertion); otherwise exact multiset parity
+        if (!refCrashed) assert(out.ok, out.describe)
+      }
+    }
+  }
+
+  replayFile("regressions.json")
+  replayFile("corpus_seed5003.json")
+}
