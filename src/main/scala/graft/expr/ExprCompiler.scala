@@ -13,28 +13,53 @@ import graft.schema.{Cmd, Op}
   * needed (the pandas outer-merge machinery of `vm.py:22-45` disappears).
   *
   * Null semantics — verified EMPIRICALLY against the reference VM on
-  * null-bearing inputs (r4 sweep), not just by reading it. The reference
-  * drops null/NaN values at column load (`vm.py:57-60` explode().dropna())
-  * and at every stack push/pop (`vm.py:22-29`), so a row whose value is
-  * missing is ABSENT from evaluation. Spark NULL models "absent":
+  * null-bearing inputs (r4 sweep + r5 runtime-fuzz campaigns), not just by
+  * reading it. The reference drops null/NaN values at column load
+  * (`vm.py:57-60` explode().dropna()) and at every stack push/pop
+  * (`vm.py:22-29`), so a row whose value is missing is ABSENT from
+  * evaluation. Spark NULL models "absent":
   *   - comparisons/arithmetic/string ops: Spark null propagation = absent
   *     stays absent (identical);
   *   - NA/DEF see only PRESENT values (always false/true respectively) and
-  *     stay absent on absent input — `isNull`/`isNotNull` alone would
-  *     return a NON-null verdict on a null row and fire violations the
-  *     reference can never produce;
-  *   - AND/OR: pandas logical ops treat an absent (NaN-aligned) operand as
-  *     FALSE, and the row is absent only when BOTH operands are absent —
-  *     NOT Spark's Kleene 3VL (`null && true` is null in Spark but False
-  *     in the reference; `null || true` is true in Spark but... also
-  *     FALSE-coerced there: `coalesce(a,false) || coalesce(b,false)`).
+  *     stay absent on absent input;
+  *   - AND/OR between two STACKED series: pandas fills the RIGHT operand's
+  *     missing rows with False BEFORE the op, but a missing LEFT operand
+  *     NaN-poisons the row and the result NaN is filled False AFTER — so
+  *     `absent | true` is False (a reported violation!) while
+  *     `true | absent` is True; absent only when BOTH sides are;
+  *   - AND/OR with an INLINE literal arg: the raw Python scalar is applied
+  *     to the left series VALUE-wise (`series | True`), so the result keeps
+  *     the LEFT operand's index — an absent left row stays ABSENT (vacuous),
+  *     with no False-poisoning (r5 probes 1a-1d vs 1e-1f).
   * Callers treat a null verdict as a vacuous pass
   * ([[graft.validate.Validator]] wraps predicates in `coalesce(p, true)`).
   *
-  * Conscious deviation: comparing two COLUMNS with different null patterns
-  * CRASHES the reference ("Can only compare identically-labeled Series"
-  * — stack-vs-stack binop after pop-side dropna); here the null rows are
-  * simply vacuous. Strictly more useful, never less correct.
+  * Python dynamic typing — the VM runs whatever numpy/pandas does for the
+  * operand dtypes, so several ops are TYPE-DIRECTED (all probed on the
+  * reference VM, r5):
+  *   - ADD and CONCAT are literally the same `+` (vm.py:97-98, 108-109):
+  *     str+str concatenates, bool+bool is LOGICAL OR (numpy bool add),
+  *     bool meeting a number upcasts to 1.0/0.0, str meeting a non-str
+  *     crashes the reference (we go vacuous);
+  *   - MUL: bool*bool is logical AND; str * int-literal REPEATS the string
+  *     (Python `'ab' * 3`); str * float crashes;
+  *   - int64 stays int64 through arithmetic with int literals (5 % 3 casts
+  *     to "2", not "2.0") — a float literal or float column promotes.
+  * Static [[Tag]]s tracked through the compile stack reproduce this.
+  *
+  * Conscious deviations (all crash-or-pathological classes in the
+  * reference, each asserted complete-cleanly by RuntimeFuzzSpec):
+  *   - comparing two COLUMNS with different null patterns CRASHES the
+  *     reference ("Can only compare identically-labeled Series"); here the
+  *     null rows are simply vacuous.
+  *   - bool+bool over a column CONTAINING nulls switches pandas to object
+  *     dtype and Python semantics (True+True == 2, not logical True); the
+  *     no-null numpy semantics (logical) are compiled for both.
+  *   - ordered comparisons / LEN / MATCHES / NOT / NEG on a type they
+  *     crash on in Python evaluate to null (vacuous) here.
+  *   - int-typed MOD/DIV with a RUNTIME (column) divisor forces a double
+  *     result (pandas' result dtype is value-dependent: any zero divisor
+  *     promotes int64 to float64 — not statically reproducible).
   */
 object ExprCompiler {
 
@@ -46,12 +71,11 @@ object ExprCompiler {
   def nanToNull(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
 
   /** Static type tag tracked through the compile stack — the minimum
-    * knowledge needed to reproduce Python's bool-is-int coercion: the
-    * reference VM happily computes `series - True` (numpy upcasts bool to
-    * 1.0) where an uncoerced Spark `lit(true)` operand would throw
-    * DATATYPE_MISMATCH at analysis. Literals and op outputs have known
-    * tags; COL resolves through `colTag` (the validator passes declared
-    * edge types; raw callers default to Unknown). */
+    * knowledge needed to reproduce Python's dynamic operator dispatch
+    * (bool-is-int coercion, str `+` = concat, bool `+` = logical or).
+    * Literals and op outputs have known tags; COL resolves through
+    * `colTag` (the validator passes declared edge types; raw callers
+    * default to Unknown, which keeps the legacy numeric/concat forms). */
   sealed trait Tag
   object Tag {
     case object Bool extends Tag
@@ -66,25 +90,32 @@ object ExprCompiler {
     }
   }
 
+  /** A stack slot: the compiled Column, its static type tag, and — when the
+    * slot is a direct literal (VAL or inline arg) — the literal value, which
+    * lets MOD/DIV specialize on a plan-time-known divisor. */
+  private case class TV(col: Column, tag: Tag, litVal: Option[Any] = None)
+
   /** Compile a program to a row-scalar Column. `colRef` resolves COL names
     * (lets callers redirect to renamed/cast columns).
     *
     * @param nanAbsent reference-assertion semantics: the VM drops NaN at
     *   EVERY stack push/pop (vm.py:22-29), so NaN produced MID-expression
     *   (a float cast of "NaN", Infinity*0) makes the row absent — wrap
-    *   arithmetic and float-cast outputs in [[nanToNull]]. Off by default:
-    *   the S3 cast path must NOT count a parsed NaN as a cast failure in
-    *   its null-delta guard (the reference stores it as a NaN value whose
-    *   missing-ness downstream stages apply themselves), and plain
-    *   expression evaluation (q_expr_opcodes) keeps raw Spark arithmetic.
+    *   numeric-tagged arithmetic and float-cast outputs in [[nanToNull]].
+    *   Off by default: the S3 cast path must NOT count a parsed NaN as a
+    *   cast failure in its null-delta guard (the reference stores it as a
+    *   NaN value whose missing-ness downstream stages apply themselves), and
+    *   plain expression evaluation (q_expr_opcodes) keeps raw Spark
+    *   arithmetic.
     * @param colTag declared type of a COL reference ([[Tag.Unknown]] when
-    *   the caller has no schema knowledge) — drives bool-is-int coercion. */
+    *   the caller has no schema knowledge) — drives the type-directed
+    *   compiles above. */
   def compile(expr: Seq[Cmd], colRef: String => Column = col(_),
               nanAbsent: Boolean = false,
               colTag: String => Tag = _ => Tag.Unknown): Column = {
-    var stack: List[(Column, Tag)] = Nil
+    var stack: List[TV] = Nil
 
-    def pop(): (Column, Tag) = stack match {
+    def pop(): TV = stack match {
       case h :: t => stack = t; h
       case Nil    => throw new IllegalStateException("Expression stack underflow")
     }
@@ -92,22 +123,29 @@ object ExprCompiler {
     for (cmd <- expr) {
       val stackArgs = List.fill(cmd.numStackArgs)(pop()).reverse
       val out = eval(cmd, stackArgs, colRef, colTag)
+      val tag = outTag(cmd, stackArgs.map(_.tag), colTag)
+      // NaN-as-missing applies to numeric outputs only (isnan rejects
+      // boolean/string at analysis; a bool-tagged ADD is a logical op)
       val guarded =
-        if (nanAbsent && NanProducingOps(cmd.op) &&
-            !(cmd.op == Op.CAST && cmd.args.lastOption.contains("str")))
-          nanToNull(out)
+        if (nanAbsent && NanProducingOps(cmd.op) && tag == Tag.Num) nanToNull(out)
         else out
-      stack = (guarded, outTag(cmd, colTag)) :: stack
+      val litVal = cmd.op match {
+        case Op.VAL => cmd.args.headOption
+        case _      => None
+      }
+      stack = TV(guarded, tag, litVal) :: stack
     }
     stack match {
-      case (res, _) :: Nil => res
+      case TV(res, _, _) :: Nil => res
       case s => throw new IllegalStateException(s"Program left ${s.size} values on stack")
     }
   }
 
-  /** Output tag per op (independent of operand tags). */
-  private def outTag(cmd: Cmd, colTag: String => Tag): Tag = {
+  /** Output tag per op, given the popped operands' tags (inline literal args
+    * are appended, mirroring the VM's arg order). */
+  private def outTag(cmd: Cmd, stackTags: List[Tag], colTag: String => Tag): Tag = {
     import Op._
+    val argTags = stackTags ++ cmd.args.map(Tag.ofLiteral)
     cmd.op match {
       case COL => cmd.args match {
         case List(name: String) => colTag(name)
@@ -116,15 +154,21 @@ object ExprCompiler {
       case VAL => cmd.args.headOption.map(Tag.ofLiteral).getOrElse(Tag.Unknown)
       case CAST => if (cmd.args.lastOption.contains("str")) Tag.Str else Tag.Num
       case NA | DEF | NOT | OR | AND | LT | GT | LE | GE | EQ | NE | MATCHES => Tag.Bool
-      case LEN | NEG | ADD | SUB | MUL | DIV | MOD | COUNT => Tag.Num
-      case CONCAT => Tag.Str
+      // `+`/`*` are type-directed: str wins (concat / repeat), two bools
+      // stay bool (logical), anything else is numeric
+      case ADD | CONCAT | MUL =>
+        if (argTags.contains(Tag.Str)) Tag.Str
+        else if (argTags.length == 2 && argTags.forall(_ == Tag.Bool)) Tag.Bool
+        else if (cmd.op == CONCAT && argTags.forall(_ == Tag.Unknown)) Tag.Str
+        else Tag.Num
+      case LEN | NEG | SUB | DIV | MOD | COUNT => Tag.Num
     }
   }
 
   /** Ops whose output can be NaN when inputs are NaN-free: float casts and
     * float arithmetic (0/0, Inf*0, Inf-Inf, parsed "NaN"). */
   private val NanProducingOps: Set[Op] =
-    Set(Op.CAST, Op.ADD, Op.SUB, Op.MUL, Op.DIV, Op.MOD, Op.NEG)
+    Set(Op.CAST, Op.ADD, Op.SUB, Op.MUL, Op.DIV, Op.MOD, Op.NEG, Op.CONCAT)
 
   /** Literal inline arg → Column. DSL NUMBER literals arrive as Double
     * (KyeParser mirrors kyepy parser.py:123-124, which parses them as
@@ -142,10 +186,42 @@ object ExprCompiler {
     case other     => throw new IllegalArgumentException(s"Unsupported literal $other")
   }
 
-  private def eval(cmd: Cmd, stackArgs: List[(Column, Tag)],
+  /** Python bool-is-int where a bool meets a number (numpy upcasts):
+    * `col - True` is col - 1, `col < True` is col < 1.0 (r4 empirics;
+    * runtime-fuzz cases 0154/0168 + r5 probes 2a-2d/h1/i1). */
+  private def numOf(t: TV): Column =
+    if (t.tag == Tag.Bool) t.col.cast("double") else t.col
+
+  private def nullBool: Column = lit(null).cast("boolean")
+  private def nullDouble: Column = lit(null).cast("double")
+  private def nullString: Column = lit(null).cast("string")
+
+  private def isZeroNum(a: Any): Boolean = a match {
+    case i: Int    => i == 0
+    case l: Long   => l == 0L
+    case d: Double => d == 0.0 // matches -0.0 too
+    case _         => false
+  }
+  private def isNumLit(a: Any): Boolean = a match {
+    case _: Int | _: Long | _: Double => true
+    case _                            => false
+  }
+
+  private def eval(cmd: Cmd, stackArgs: List[TV],
                    colRef: String => Column, colTag: String => Tag): Column = {
     import Op._
-    def operands: List[Column] = stackArgs.map(_._1) ++ cmd.args.map(litArg)
+    def operands: List[TV] =
+      stackArgs ++ cmd.args.map(a => TV(litArg(a), Tag.ofLiteral(a), Some(a)))
+    def unary: TV = {
+      val ops = operands
+      require(ops.size == 1, s"${cmd.op.opName} needs 1 operand, got ${ops.size}")
+      ops.head
+    }
+    def bin: (TV, TV) = {
+      val ops = operands
+      require(ops.size == 2, s"${cmd.op.opName} needs 2 operands, got ${ops.size}")
+      (ops(0), ops(1))
+    }
     (cmd.op, cmd.args, stackArgs) match {
       case (COL, List(name: String), Nil) => colRef(name)
       case (VAL, List(v), Nil)            => litArg(v)
@@ -157,76 +233,89 @@ object ExprCompiler {
         val target = cmd.args.lastOption.getOrElse(
           throw new IllegalArgumentException(
             "CAST requires an inline target-type argument (e.g. {\"cast\": \"float\"})"))
-        val src = (stackArgs.map(_._1) ++ cmd.args.dropRight(1).map(litArg)).headOption.getOrElse(
+        val srcs = stackArgs ++ cmd.args.dropRight(1).map(a =>
+          TV(litArg(a), Tag.ofLiteral(a), Some(a)))
+        val src = srcs.headOption.getOrElse(
           throw new IllegalArgumentException("CAST has no operand on the stack or in args"))
-        // try_cast: null on failure even under ANSI mode; the reference's
-        // column-level all-or-nothing rejection is enforced by the
-        // validator's null-delta guard, not by a runtime exception.
         target match {
-          case "float" => src.try_cast("double")
-          case "str"   => src.try_cast("string")
+          case "float" => src.col.try_cast("double")
+          // Python str(): booleans render "True"/"False" (pandas
+          // astype(str) on a bool series; r5 probe g1) where Spark's cast
+          // would lowercase them; numbers keep their natural Spark
+          // rendering, which matches str() per dtype ("2" for int64,
+          // "2.0" for float64)
+          case "str" if src.tag == Tag.Bool =>
+            when(src.col, lit("True")).when(!src.col, lit("False"))
+          case "str"   => src.col.try_cast("string")
           case t       => throw new IllegalArgumentException(s"Unsupported cast target '$t'")
         }
       // NA/DEF evaluate over PRESENT values only (reference column loads
       // dropna first): absent input stays absent (NULL verdict -> vacuous
       // pass), so na(x)/def(x) can never fire a violation on a null row —
       // exactly the reference, where such rows are missing from the series
-      case (NA, _, _)  => { val e = operands.head; when(e.isNotNull, e.isNull) }
-      case (DEF, _, _) => { val e = operands.head; when(e.isNotNull, lit(true)) }
-      case (NOT, _, _) => !operands.head
-      case (NEG, _, _) => negate(operands.head)
-      case (LEN, _, _) => length(operands.head)
-      case (NE, _, _)  => binop(cmd, stackArgs, colTag)(_ =!= _)
-      case (EQ, _, _)  => binop(cmd, stackArgs, colTag)(_ === _)
-      // pandas logical-op null semantics, verified EMPIRICALLY against the
-      // VM (runtime-fuzz cases 0037/0239) — NOT Spark Kleene 3VL and NOT a
-      // symmetric absent->FALSE coercion. pandas fills the RIGHT operand's
-      // missing rows with False BEFORE the op, but a missing LEFT operand
-      // NaN-poisons the row and the result NaN is filled False AFTER — so
-      // `absent | true` is False (a reported violation!) while
-      // `true | absent` is True. The row is absent only when BOTH sides are
-      // (then it is outside the union index entirely).
-      case (OR, _, _)  => binop(cmd, stackArgs, colTag)((a, b) =>
-        when(a.isNull && b.isNull, lit(null).cast("boolean"))
-          .when(a.isNull, lit(false))
-          .otherwise(a || coalesce(b, lit(false))))
-      // AND under the same rules: any single absent side yields False
-      // (left-absent via the result-NaN fill, right-absent via the pre-op
-      // fill making `x && false`), identical to a symmetric coercion.
-      case (AND, _, _) => binop(cmd, stackArgs, colTag)((a, b) =>
-        when(a.isNull && b.isNull, lit(null).cast("boolean"))
-          .when(a.isNull, lit(false))
-          .otherwise(a && coalesce(b, lit(false))))
-      case (LT, _, _)  => binop(cmd, stackArgs, colTag)(_ < _)
-      case (GT, _, _)  => binop(cmd, stackArgs, colTag)(_ > _)
-      case (LE, _, _)  => binop(cmd, stackArgs, colTag)(_ <= _)
-      case (GE, _, _)  => binop(cmd, stackArgs, colTag)(_ >= _)
-      case (ADD, _, _) => binop(cmd, stackArgs, colTag)(_ + _)
-      case (SUB, _, _) => binop(cmd, stackArgs, colTag)(_ - _)
-      case (MUL, _, _) => binop(cmd, stackArgs, colTag)(_ * _)
-      // pandas float division by zero is IEEE (x/0 = ±inf, 0/0 = NaN,
-      // runtime-fuzz class: vm.py:104-105) where Spark's Divide checks the
-      // divisor and throws under ANSI — reproduce IEEE explicitly.
-      case (DIV, _, _) => binop(cmd, stackArgs, colTag)((a, b) =>
-        when(b === 0,
-          when(a.isNull, lit(null).cast("double"))
-            .when(a > 0, lit(Double.PositiveInfinity))
-            .when(a < 0, lit(Double.NegativeInfinity))
-            .otherwise(lit(Double.NaN)))
-          .otherwise(a / b))
-      // pandas % is floor-mod (sign of divisor); Java % truncates. Use
-      // floor-mod for parity (kyepy vm.py:106-107; unreachable from the DSL
-      // but reachable from artifacts). x % 0 is NaN in pandas (== missing
-      // under assertion semantics) where Spark ANSI throws REMAINDER_BY_ZERO
-      // (runtime-fuzz cases 0156/0259).
-      case (MOD, _, _)     => binop(cmd, stackArgs, colTag)((a, b) =>
-        when(b === 0, when(a.isNull, lit(null).cast("double")).otherwise(lit(Double.NaN)))
-          .otherwise(((a % b) + b) % b))
-      case (CONCAT, _, _)  => binop(cmd, stackArgs, colTag)(concat(_, _))
+      case (NA, _, _)  => { val e = unary.col; when(e.isNotNull, e.isNull) }
+      case (DEF, _, _) => { val e = unary.col; when(e.isNotNull, lit(true)) }
+      // Python ~ is only defined on bools (ints aside); on float/str series
+      // the reference crashes (TypeError) — vacuous here, and Spark's !
+      // would refuse the type at analysis anyway
+      case (NOT, _, _) => unary match {
+        case TV(c, Tag.Bool | Tag.Unknown, _) => !c
+        case _                                => nullBool
+      }
+      // numpy: -bool raises (crash-class: any completion is parity); -str
+      // crashes too — complete as numeric negate / vacuous respectively
+      case (NEG, _, _) => unary match {
+        case TV(_, Tag.Str, _) => nullDouble
+        case t                 => negate(numOf(t))
+      }
+      // .str.len on a non-string series crashes the reference (r5 probe j1)
+      case (LEN, _, _) => unary match {
+        case TV(c, Tag.Str | Tag.Unknown, _) => length(c)
+        case _                               => nullDouble
+      }
+      case (EQ, _, _)  => compileEquality(bin, negated = false)
+      case (NE, _, _)  => compileEquality(bin, negated = true)
+      case (OR, _, _)  => compileLogical(cmd, bin)(_ || _)
+      case (AND, _, _) => compileLogical(cmd, bin)(_ && _)
+      case (LT, _, _)  => compileOrdered(bin)(_ < _)
+      case (GT, _, _)  => compileOrdered(bin)(_ > _)
+      case (LE, _, _)  => compileOrdered(bin)(_ <= _)
+      case (GE, _, _)  => compileOrdered(bin)(_ >= _)
+      // ADD and CONCAT are the same VM op (`+`, vm.py:97-98/108-109) —
+      // fully type-directed, see compilePlus
+      case (ADD, _, _) | (CONCAT, _, _) => compilePlus(cmd.op, bin)
+      case (MUL, _, _) => bin match {
+        // bool * bool is numpy logical AND (r5 probe 2c); null handling as
+        // compilePlus (NaN propagates through `*`, then drops)
+        case (a, b) if a.tag == Tag.Bool && b.tag == Tag.Bool =>
+          when(a.col.isNull || b.col.isNull, nullBool).otherwise(a.col && b.col)
+        // Python str * int repeats; str * float / str * str crash
+        case (a, b) if a.tag == Tag.Str || b.tag == Tag.Str =>
+          val (s, n) = if (a.tag == Tag.Str) (a, b) else (b, a)
+          n.litVal match {
+            case Some(i: Int)  => repeat(s.col, i)
+            case Some(l: Long) if l == l.toInt => repeat(s.col, l.toInt)
+            case _             => nullString // reference TypeError
+          }
+        case (a, b) => numOf(a) * numOf(b)
+      }
+      case (SUB, _, _) => bin match {
+        // str - anything crashes the reference; bool - bool crashes too
+        // (numpy refuses boolean subtract) — numeric completion is parity
+        case (a, b) if a.tag == Tag.Str || b.tag == Tag.Str => nullDouble
+        case (a, b) => numOf(a) - numOf(b)
+      }
+      case (DIV, _, _) => compileDiv(bin)
+      case (MOD, _, _) => compileMod(bin)
       // unanchored regex *search*, not fullmatch (verified against the
       // reference: pandas str.contains, kyepy vm.py:110-111). Dialect is
       // Java regex here vs Python re — identical for the corpus subset.
-      case (MATCHES, _, _) => binop(cmd, stackArgs, colTag)(regexp_like(_, _))
+      // On a non-string series the reference crashes (.str accessor).
+      case (MATCHES, _, _) => bin match {
+        case (a, b) if a.tag == Tag.Str || a.tag == Tag.Unknown =>
+          regexp_like(a.col, b.col)
+        case _ => nullBool
+      }
       case (COUNT, _, _) =>
         throw new IllegalArgumentException(
           "COUNT is an aggregate op — use ExprCompiler.compileAggregate within a groupBy")
@@ -234,29 +323,129 @@ object ExprCompiler {
     }
   }
 
-  private val ComparisonOps: Set[Op] =
-    Set(Op.LT, Op.GT, Op.LE, Op.GE, Op.EQ, Op.NE)
+  /** Is this (Tag, Tag) pair a cross-type pair Python evaluates elementwise
+    * to False on `==` and crashes on ordered comparison: str vs num/bool. */
+  private def strVsNonStr(a: Tag, b: Tag): Boolean =
+    (a == Tag.Str && (b == Tag.Num || b == Tag.Bool)) ||
+    (b == Tag.Str && (a == Tag.Num || a == Tag.Bool))
 
-  private def binop(cmd: Cmd, stackArgs: List[(Column, Tag)],
-                    colTag: String => Tag)(f: (Column, Column) => Column): Column = {
-    // Python bool-is-int: the reference VM computes `col - True` as col - 1
-    // and `col < True` as col < 1.0 (numpy upcasts bool), so a Boolean
-    // operand — inline arg OR stacked VAL/subexpression (runtime-fuzz cases
-    // 0154/0168) — must coerce to double wherever it meets a number. On the
-    // num-signature arithmetic ops every bool coerces; on comparisons only
-    // a bool meeting a known-Number other side does (bool-vs-bool equality
-    // must stay boolean: `flag == true` is a legitimate any-signature use).
-    val arith = NanProducingOps.contains(cmd.op) // ADD SUB MUL DIV MOD (+CAST/NEG, argless)
-    val cmp = ComparisonOps.contains(cmd.op)
-    val tagged: List[(Column, Tag)] =
-      stackArgs ++ cmd.args.map(a => (litArg(a), Tag.ofLiteral(a)))
-    require(tagged.size == 2, s"${cmd.op.opName} needs 2 operands, got ${tagged.size}")
-    def coerce(self: (Column, Tag), other: (Column, Tag)): Column = self match {
-      case (c, Tag.Bool) if arith => c.cast("double")
-      case (c, Tag.Bool) if cmp && other._2 == Tag.Num => c.cast("double")
-      case (c, _) => c
+  /** EQ/NE. Bool-vs-num compares as 1/0 (True == 1.0 is True, True == 2.0
+    * is False — r5 probes i1/2d); str-vs-num/bool is elementwise False in
+    * Python (never a crash for `==`/`!=`; r5 probes 5a-5d) — compiled as a
+    * constant verdict over present rows. */
+  private def compileEquality(ops: (TV, TV), negated: Boolean): Column = ops match {
+    case (a, b) if strVsNonStr(a.tag, b.tag) =>
+      when(a.col.isNull || b.col.isNull, nullBool).otherwise(lit(negated))
+    case (a, b) if (a.tag == Tag.Bool && b.tag == Tag.Num) ||
+                   (b.tag == Tag.Bool && a.tag == Tag.Num) =>
+      if (negated) numOf(a) =!= numOf(b) else numOf(a) === numOf(b)
+    case (a, b) =>
+      if (negated) a.col =!= b.col else a.col === b.col
+  }
+
+  /** LT/GT/LE/GE. Bool meeting a number coerces (numpy upcast); str meeting
+    * num/bool CRASHES the reference (r5 probes 5e/5f) — vacuous here. */
+  private def compileOrdered(ops: (TV, TV))(f: (Column, Column) => Column): Column =
+    ops match {
+      case (a, b) if strVsNonStr(a.tag, b.tag) => nullBool
+      case (a, b) if (a.tag == Tag.Bool && b.tag == Tag.Num) ||
+                     (b.tag == Tag.Bool && a.tag == Tag.Num) =>
+        f(numOf(a), numOf(b))
+      case (a, b) => f(a.col, b.col)
     }
-    f(coerce(tagged(0), tagged(1)), coerce(tagged(1), tagged(0)))
+
+  /** AND/OR. Two STACKED operands follow the asymmetric pandas alignment
+    * rule (left-NaN poisons to False, right-NaN pre-fills to False, both
+    * absent -> absent). An INLINE literal arg is a raw Python scalar — the
+    * result keeps the LEFT series' index, so absent-left rows stay ABSENT
+    * (r5 probes 1a-1f; the two forms are NOT equivalent). */
+  private def compileLogical(cmd: Cmd, ops: (TV, TV))
+                            (f: (Column, Column) => Column): Column = {
+    val (a, b) = ops
+    if (cmd.args.nonEmpty) {
+      // inline right operand: a non-null literal, so Kleene == pandas on
+      // present rows; preserve the left's absence
+      when(a.col.isNull, nullBool).otherwise(f(a.col, b.col))
+    } else {
+      when(a.col.isNull && b.col.isNull, nullBool)
+        .when(a.col.isNull, lit(false))
+        .otherwise(f(a.col, coalesce(b.col, lit(false))))
+    }
+  }
+
+  /** The VM's `+` (ADD and CONCAT alike), type-directed like Python:
+    *   - str + str -> concat (absent propagates);
+    *   - str + num/bool -> reference TypeError -> vacuous;
+    *   - bool + bool -> numpy logical OR (r5 probes 2a/2b; NaN propagates
+    *     through `+` then drops, so absent-either -> absent — unlike OR's
+    *     asymmetric fill);
+    *   - otherwise numeric, bools upcast to 1.0/0.0. */
+  private def compilePlus(op: Op, ops: (TV, TV)): Column = ops match {
+    case (a, b) if a.tag == Tag.Str && b.tag == Tag.Str => concat(a.col, b.col)
+    case (a, b) if strVsNonStr(a.tag, b.tag)            => nullString
+    // Unknown beside a Str: assume string concat (the DSL's only `+` on
+    // strings; a runtime number there would have crashed the reference)
+    case (a, b) if a.tag == Tag.Str || b.tag == Tag.Str => concat(a.col, b.col)
+    case (a, b) if a.tag == Tag.Bool && b.tag == Tag.Bool =>
+      when(a.col.isNull || b.col.isNull, nullBool).otherwise(a.col || b.col)
+    // no tag information at all: fall back to the opcode's DSL provenance
+    // (the DSL emits CONCAT only for strings, ADD only for numbers)
+    case (a, b) if op == Op.CONCAT && a.tag == Tag.Unknown && b.tag == Tag.Unknown =>
+      concat(a.col, b.col)
+    case (a, b) => numOf(a) + numOf(b)
+  }
+
+  /** Pandas float division is IEEE (x/0 = ±inf with the divisor's ZERO SIGN
+    * honored, 0/0 = NaN/0 = NaN — r5 probes 3a/3b) where Spark throws under
+    * ANSI. A plan-time-known non-zero literal divisor needs no guard; a
+    * known zero divisor resolves the sign statically; a runtime divisor
+    * detects negative zero through its string rendering (only inside the
+    * rarely-taken zero branch). Both operands run as double (pandas `/` is
+    * always float64). */
+  private def compileDiv(ops: (TV, TV)): Column = {
+    val (a0, b0) = ops
+    val a = numOf(a0).cast("double")
+    val b = numOf(b0).cast("double")
+    def zeroBranch(negZero: Column): Column =
+      when(a.isNull, nullDouble)
+        .when(isnan(a) || a === 0, lit(Double.NaN))
+        .when((a > 0) =!= negZero, lit(Double.PositiveInfinity))
+        .otherwise(lit(Double.NegativeInfinity))
+    b0.litVal match {
+      case Some(n) if isNumLit(n) && !isZeroNum(n) => a / b
+      case Some(n) if isNumLit(n) =>
+        val negZ = n match {
+          case d: Double => java.lang.Double.compare(d, -0.0d) == 0
+          case _         => false
+        }
+        zeroBranch(lit(negZ))
+      case _ =>
+        when(b === 0, zeroBranch(b.cast("string").startsWith("-")))
+          .otherwise(a / b)
+    }
+  }
+
+  /** Pandas % is floor-mod (sign of divisor; Java % truncates) and x % 0 is
+    * NaN — for ANY dtype (int64 % 0 promotes to float64 NaN) — where Spark
+    * ANSI throws REMAINDER_BY_ZERO. A plan-time non-zero literal divisor
+    * skips the guard entirely, PRESERVING int64 typing (5 % 3 must cast to
+    * "2", not "2.0" — r5 probes 4c/4d/k1); a runtime divisor forces a
+    * double result (documented deviation: pandas' dtype there is
+    * value-dependent). */
+  private def compileMod(ops: (TV, TV)): Column = {
+    val (a0, b0) = ops
+    if (a0.tag == Tag.Str || b0.tag == Tag.Str) return nullDouble // ref TypeError
+    val a = numOf(a0)
+    val b = numOf(b0)
+    def floorMod(x: Column, y: Column): Column = ((x % y) + y) % y
+    b0.litVal match {
+      case Some(n) if isNumLit(n) && !isZeroNum(n) => floorMod(a, b)
+      case Some(n) if isNumLit(n) =>
+        when(a.isNull, nullDouble).otherwise(lit(Double.NaN))
+      case _ =>
+        when(b === 0, when(a.isNull, nullDouble).otherwise(lit(Double.NaN)))
+          .otherwise(floorMod(a, b))
+    }
   }
 
   /** Aggregate-context compile: supports trailing COUNT (per-group distinct

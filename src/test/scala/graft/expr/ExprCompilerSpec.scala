@@ -167,6 +167,124 @@ class ExprCompilerSpec extends SparkSuite {
     assert(evalD(inlined) == evalD(stacked))
   }
 
+  test("INLINE logical args keep the left operand's index (no False-poison)") {
+    // r5 probes 1a-1f: `{"or": true}` applies a raw Python scalar to the
+    // left series VALUE-wise — an absent left row stays ABSENT (vacuous),
+    // unlike the stacked form where a full-index VAL right operand aligns
+    // and the absent left poisons to False. The two forms are NOT
+    // equivalent for AND/OR.
+    import spark.implicits._
+    val d = Seq(Some(10.0), Some(1.0), None).toDF("x")
+    def run(cmds: List[Cmd]): Seq[Any] =
+      d.select(ExprCompiler.compile(cmds, colTag = _ => ExprCompiler.Tag.Num))
+        .collect().map(_.get(0)).toSeq
+    val base = List(Cmd.one(COL, "x"), Cmd.one(GT, 5.0))
+    assert(run(base :+ Cmd(OR, List(true)))  == Seq(true, true, null))
+    assert(run(base :+ Cmd(OR, List(false))) == Seq(true, false, null))
+    assert(run(base :+ Cmd(AND, List(true))) == Seq(true, false, null))
+    assert(run(base :+ Cmd(AND, List(false))) == Seq(false, false, null))
+    // stacked VAL form: absent left -> False (the asymmetric rule)
+    assert(run(base ++ List(Cmd(VAL, List(true)), Cmd(OR))) == Seq(true, true, false))
+  }
+
+  test("bool+bool is logical OR, bool*bool logical AND (numpy, r5 probes 2a-2c)") {
+    import spark.implicits._
+    val d = Seq(true, false).toDF("flag")
+    def run(cmds: List[Cmd]): Seq[Any] =
+      d.select(ExprCompiler.compile(cmds, colTag = _ => ExprCompiler.Tag.Bool))
+        .collect().map(_.get(0)).toSeq
+    val f = Cmd.one(COL, "flag")
+    // stacked and inline both logical
+    assert(run(List(f, Cmd(VAL, List(true)), Cmd(ADD))) == Seq(true, true))
+    assert(run(List(f, Cmd(ADD, List(true)))) == Seq(true, true))
+    assert(run(List(f, Cmd(VAL, List(true)), Cmd(MUL))) == Seq(true, false))
+    // the logical result feeds comparisons as 1/0 (True == 1.0 is True,
+    // True == 2.0 is False — probes 2a/2d/f1)
+    assert(run(List(f, Cmd(ADD, List(true)), Cmd.one(EQ, 1.0))) == Seq(true, true))
+    assert(run(List(f, Cmd(ADD, List(true)), Cmd.one(EQ, 2.0))) == Seq(false, false))
+    // ...and casts to str Python-style (probe g1)
+    assert(run(List(f, Cmd(ADD, List(true)), Cmd.one(CAST, "str"))) == Seq("True", "True"))
+    assert(run(List(f, Cmd.one(CAST, "str"))) == Seq("True", "False"))
+  }
+
+  test("cross-type EQ/NE is elementwise False/True; ordered comparisons vacuous") {
+    // r5 probes 5a-5f: pandas str==bool / str==num completes all-False
+    // (every present row a violation), str<num CRASHES the reference —
+    // vacuous here, never an ANSI analysis error
+    import spark.implicits._
+    val d = Seq(Some("x"), Some("y"), None).toDF("s")
+    def run(cmds: List[Cmd]): Seq[Any] =
+      d.select(ExprCompiler.compile(cmds, colTag = _ => ExprCompiler.Tag.Str))
+        .collect().map(_.get(0)).toSeq
+    val s = Cmd.one(COL, "s")
+    assert(run(List(s, Cmd(EQ, List(true)))) == Seq(false, false, null))
+    assert(run(List(s, Cmd(EQ, List(5.0)))) == Seq(false, false, null))
+    assert(run(List(s, Cmd(VAL, List(true)), Cmd(EQ))) == Seq(false, false, null))
+    assert(run(List(s, Cmd(NE, List(true)))) == Seq(true, true, null))
+    assert(run(List(s, Cmd(LT, List(5.0)))) == Seq(null, null, null))
+    // crash-classes on typed operands complete as vacuous/numeric
+    assert(run(List(s, Cmd(MATCHES, List("x")))) == Seq(true, false, null)) // str ok
+    val dn = Seq(1.0).toDF("n")
+    def runN(cmds: List[Cmd]): Seq[Any] =
+      dn.select(ExprCompiler.compile(cmds, colTag = _ => ExprCompiler.Tag.Num))
+        .collect().map(_.get(0)).toSeq
+    assert(runN(List(Cmd.one(COL, "n"), Cmd(LEN))) == Seq(null))          // .str.len crash
+    assert(runN(List(Cmd.one(COL, "n"), Cmd(MATCHES, List("x")))) == Seq(null))
+    assert(runN(List(Cmd.one(COL, "n"), Cmd(NOT))) == Seq(null))          // ~float crash
+  }
+
+  test("DIV honors IEEE negative-zero divisors and NaN numerators (r5 probes 3a/3b)") {
+    import spark.implicits._
+    val d = Seq(7.0, -7.0).toDF("x")
+    // 7 / neg(0) = -Inf: the divisor's zero SIGN matters
+    val negz = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd(VAL, List(0.0)), Cmd(NEG), Cmd(DIV))))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(negz == Seq(Double.NegativeInfinity, Double.PositiveInfinity),
+      s"x / -0.0 flips the infinity sign, got $negz")
+    // NaN numerator over a zero divisor is NaN, not +Inf (Spark's NaN > 0
+    // is true — the zero branch must check isnan first)
+    val dn = Seq((0.0, 0.0)).toDF("x", "y")
+    val nanNum = dn.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd.one(COL, "y"), Cmd(DIV), // 0/0 = NaN
+      Cmd.one(COL, "y"), Cmd(DIV))))                  // NaN/0
+      .collect().map(_.getDouble(0)).toSeq
+    assert(nanNum.head.isNaN, s"NaN/0 must be NaN, got $nanNum")
+  }
+
+  test("MOD with a non-zero int literal preserves int64 typing (r5 probes 4c/k1)") {
+    import spark.implicits._
+    val d = Seq(5L).toDF("x")
+    // pandas int64 % 3 = int64 2 -> str "2"; % 3.0 promotes -> "2.0"
+    val intMod = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd(MOD, List(3)), Cmd.one(CAST, "str"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(intMod == Seq("2"), s"int %% int stays int64, got $intMod")
+    val fltMod = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd(MOD, List(3.0)), Cmd.one(CAST, "str"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(fltMod == Seq("2.0"), s"int %% float promotes, got $fltMod")
+    // floor-mod sign with negative int divisors stays exact: 5 % -3 = -1
+    val negMod = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd(MOD, List(-3)), Cmd.one(CAST, "str"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(negMod == Seq("-1"), s"5 %% -3 = -1 (pandas), got $negMod")
+  }
+
+  test("str * int literal repeats the string (Python `'ab' * 3`)") {
+    import spark.implicits._
+    val d = Seq("ab").toDF("s")
+    val rep = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "s"), Cmd(MUL, List(3))), colTag = _ => ExprCompiler.Tag.Str))
+      .collect().map(_.getString(0)).toSeq
+    assert(rep == Seq("ababab"))
+    // float multiplier crashes the reference -> vacuous here
+    val flt = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "s"), Cmd(MUL, List(3.0))), colTag = _ => ExprCompiler.Tag.Str))
+      .collect().map(_.get(0)).toSeq
+    assert(flt == Seq(null))
+  }
+
   test("COUNT compiles in aggregate context as distinct count") {
     val c = ExprCompiler.compileAggregate(List(Cmd.one(COL, "s"), Cmd(COUNT)))
     val n = df.agg(c).collect()(0).getLong(0)

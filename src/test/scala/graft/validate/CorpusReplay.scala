@@ -47,6 +47,7 @@ object CorpusReplay {
       val kind = c.get("kind").asText()
       val base: DataType = kind match {
         case "number"  => DoubleType
+        case "integer" => LongType // pandas int64 (generator emits no nulls)
         case "boolean" => BooleanType
         case _         => StringType
       }
@@ -55,6 +56,7 @@ object CorpusReplay {
     }
     def conv(kind: String, v: JsonNode): Any = kind match {
       case "number"  => v.asDouble()
+      case "integer" => v.asLong()
       case "boolean" => v.asBoolean()
       case _         => v.asText()
     }

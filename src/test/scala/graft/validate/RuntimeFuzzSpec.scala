@@ -62,4 +62,13 @@ class RuntimeFuzzSpec extends SparkSuite {
 
   replayFile("regressions.json")
   replayFile("corpus_seed5003.json")
+  // the r5 hand-probe suite: one case per empirically-verified semantic
+  // (inline-vs-stacked logical args, bool-is-int dispatch, IEEE div/mod
+  // zero paths, int64 literal typing, cross-type comparisons), goldens
+  // regenerable with `python3 tools/fuzz_runtime_ref.py probes <out>`
+  replayFile("probes_r5.json")
+  // pinned-seed corpus from the EXTENDED generator (inline logical args,
+  // bool arithmetic, cast-str round-trips, cross-type comparisons,
+  // integer-typed columns): `gen <out> --n 60 --seed 6003`
+  replayFile("corpus_seed6003.json")
 }

@@ -86,6 +86,42 @@ def gen_expr(rng, edge_name, edge_type, depth=0):
             return ([val(rand_bool(rng))], want)
         roll = rng.random()
         if want == 'Boolean':
+            # r5 extension branches: the forms the original generator never
+            # produced, each a divergence class the review/probes found
+            pre = rng.random()
+            if pre < 0.10 and t == 'Boolean':
+                # bool+bool / bool*bool arithmetic (numpy logical OR/AND,
+                # result dtype bool) compared numerically or as str
+                op = rng.choice(['add', 'mul'])
+                arith = [{'col': edge_name}]
+                if rng.random() < 0.5:
+                    arith.append({op: rand_bool(rng)})
+                else:
+                    arith.extend([val(rand_bool(rng)), {op: []}])
+                if rng.random() < 0.3:
+                    return (arith + [{'cast': 'str'},
+                            {'eq': rng.choice(['True', 'False', 'true'])}], 'Boolean')
+                return (arith + [{rng.choice(['eq', 'ne']):
+                        rng.choice([0.0, 1.0, 2.0])}], 'Boolean')
+            if pre < 0.16 and t == 'Number':
+                # cast-str round trip: int64 vs float64 renderings differ
+                # ("2" vs "2.0") and must match pandas astype(str)
+                return ([{'col': edge_name}, {'cast': 'str'},
+                        {rng.choice(['eq', 'ne']):
+                         rng.choice(['1.0', '2.5', '-3.0', '7', '100', 'x'])}], 'Boolean')
+            if pre < 0.20 and t == 'Boolean':
+                # Python str(bool) is "True"/"False", not Spark's "true"
+                return ([{'col': edge_name}, {'cast': 'str'},
+                        {'eq': rng.choice(['True', 'False', 'true'])}], 'Boolean')
+            if pre < 0.30 and t == 'String':
+                # cross-type comparison: == / != complete elementwise-False
+                # in Python; ordered comparisons crash the reference
+                arg = rand_num(rng) if rng.random() < 0.5 else rand_bool(rng)
+                op = (rng.choice(['lt', 'gt', 'le', 'ge'])
+                      if rng.random() < 0.3 else rng.choice(['eq', 'ne']))
+                if rng.random() < 0.5:
+                    return ([{'col': edge_name}, {op: arg}], 'Boolean')
+                return ([{'col': edge_name}, val(arg), {op: []}], 'Boolean')
             if roll < 0.25 and t != 'Boolean':
                 # comparison over the edge type
                 lhs, _ = build(t, d + 1)
@@ -106,6 +142,10 @@ def gen_expr(rng, edge_name, edge_type, depth=0):
                 l, _ = build('Boolean', d + 1)
                 r, _ = build('Boolean', d + 1)
                 op = rng.choice(['and', 'or'])
+                # ~30% inline scalar right operand: semantics differ from
+                # the stacked form (keeps the left index — no False-poison)
+                if rng.random() < 0.3:
+                    return (l + [{op: rand_bool(rng)}], 'Boolean')
                 return (l + r + [{op: []}], 'Boolean')
             if roll < 0.7:
                 inner, _ = build(t, d + 1)
@@ -132,7 +172,13 @@ def gen_expr(rng, edge_name, edge_type, depth=0):
                 if rng.random() < 0.08:
                     arg = rand_bool(rng)
                 elif op in ('div', 'mod') and rng.random() < 0.2:
-                    arg = 0.0
+                    # IEEE/NaN zero-divisor paths; int 0 exercises the
+                    # plan-time literal-zero specialization too
+                    arg = rng.choice([0.0, 0])
+                elif rng.random() < 0.25:
+                    # Python INT literal: pandas keeps int64 exact through
+                    # int-int arithmetic (5 % 3 -> "2", not "2.0")
+                    arg = rng.choice([1, 2, 3, 7, -3])
                 else:
                     arg = rand_num(rng)
                 if rng.random() < 0.5:
@@ -153,6 +199,32 @@ def gen_expr(rng, edge_name, edge_type, depth=0):
         raise AssertionError(want)
 
     return build('Boolean', depth)
+
+
+def inline_bool_arith(cmds):
+    """Rewrite `..., {val: bool}, {add|mul: []}` to the inline-arg form.
+
+    Over a bool column CONTAINING nulls, the stacked form's full-index VAL
+    alignment flips pandas to object dtype and PYTHON semantics (True*True
+    == 1, str '1') — a value-dependent dtype pathology the Spark engine
+    deliberately does not reproduce (documented deviation). The inline raw
+    scalar keeps the left index and numpy semantics regardless of nulls,
+    so generated corpora use it whenever the target column is nullable."""
+    out, i = [], 0
+    while i < len(cmds):
+        c = cmds[i]
+        nxt = cmds[i + 1] if i + 1 < len(cmds) else None
+        if (isinstance(c, dict) and set(c) == {'val'}
+                and isinstance(c['val'], bool)
+                and isinstance(nxt, dict) and len(nxt) == 1
+                and next(iter(nxt)) in ('add', 'mul')
+                and next(iter(nxt.values())) == []):
+            out.append({next(iter(nxt)): c['val']})
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return out
 
 
 def gen_case(rng, case_id):
@@ -176,6 +248,11 @@ def gen_case(rng, case_id):
         # stringly-typed numeric data exercises the implicit-cast path
         if ty == 'Number' and rng.random() < 0.25:
             kinds[nm] = 'string_numbers' if rng.random() < 0.6 else 'string_junk'
+        elif ty == 'Number' and rng.random() < 0.2:
+            # int64 data (never null/NaN — a single missing value would
+            # silently flip the pandas dtype to float64 while the Spark
+            # side stays LongType: an encoding ambiguity, not a divergence)
+            kinds[nm] = 'integer'
         else:
             kinds[nm] = {'Number': 'number', 'String': 'string', 'Boolean': 'boolean'}[ty]
 
@@ -209,6 +286,7 @@ def gen_case(rng, case_id):
     # data: 0-9 rows; duplicate index keys ~ exercise grouping
     n_rows = rng.choice([0, 3, 4, 5, 6, 8, 9])
     columns = []
+    null_edges = set()
     omit = set()
     if rng.random() < 0.06 and len(indexes) == 1 and len(indexes[0]) == 1:
         omit.add(indexes[0][0])  # missing index column -> abort
@@ -219,10 +297,12 @@ def gen_case(rng, case_id):
         many = edges[nm].get('many', False)
         vals = []
         for r in range(n_rows):
-            if rng.random() < 0.13:
+            if rng.random() < 0.13 and kind != 'integer':
                 vals.append(None)
                 continue
-            if kind == 'number':
+            if kind == 'integer':
+                v = rng.choice([0, 1, 2, 5, 7, -3, 100])
+            elif kind == 'number':
                 v = rand_num(rng)
                 if rng.random() < 0.06:
                     v = float('nan')
@@ -242,7 +322,9 @@ def gen_case(rng, case_id):
                 # sees Python True (float(True)=1.0) — an encoding
                 # ambiguity, not an engine divergence (seed-5002 case 0091)
                 k = rng.randint(0, 3)
-                if kind == 'number':
+                if kind == 'integer':
+                    extra = lambda: rng.choice([0, 1, 2, 5, 7, -3, 100])
+                elif kind == 'number':
                     extra = lambda: rand_num(rng)
                 elif kind == 'boolean':
                     extra = lambda: rand_bool(rng)
@@ -260,12 +342,28 @@ def gen_case(rng, case_id):
             for r in range(1, n_rows):
                 if rng.random() < 0.35:
                     vals[r] = vals[rng.randrange(0, r)]
-        data_kind = {'number': 'number', 'boolean': 'boolean'}.get(kind, 'string')
+        # an ALL-null boolean column degrades to pandas object-of-Nones and
+        # the reference flags InvalidType purely from the lost dtype — a
+        # fixture-encoding boundary (Spark keeps the declared BooleanType),
+        # not an engine semantic: keep one real value (probed r5; all-null
+        # String stays object and passes, all-null Number stays float64)
+        if kind == 'boolean' and n_rows > 0 and all(v is None for v in vals):
+            vals[rng.randrange(n_rows)] = rand_bool(rng)
+        data_kind = {'number': 'number', 'boolean': 'boolean',
+                     'integer': 'integer'}.get(kind, 'string')
         columns.append({'name': titles.get(nm, nm), 'kind': data_kind,
                         'isList': many, 'values': vals})
+        if any(v is None for v in vals):
+            null_edges.add(nm)
     if rng.random() < 0.1:
         columns.append({'name': 'zz_unknown', 'kind': 'string', 'isList': False,
                         'values': [rand_str(rng) for _ in range(n_rows)]})
+    # avoid the object-dtype pathology: stacked VAL bool-arith over a
+    # null-bearing column switches the reference to Python int semantics
+    # (see inline_bool_arith) — keep that class out of generated corpora
+    for a in model.get('assertions', []):
+        if a['expr'] and a['expr'][0].get('col') in null_edges:
+            a['expr'] = inline_bool_arith(a['expr'])
     return {'models': {'M': model}}, columns
 
 
@@ -314,13 +412,121 @@ def run_reference(artifact, columns):
     }
 
 
+def probe_cases():
+    """The r5 hand-probe suite: one (name, edges, assertion expr, columns)
+    per empirically-verified semantic (inline-vs-stacked logical args,
+    bool-is-int arithmetic dispatch, IEEE div/mod zero paths incl. the
+    -0.0 divisor sign, int64 literal typing through cast-str, cross-type
+    comparisons). Regenerating with `probes` re-derives every golden from
+    the live reference."""
+    numcol = lambda vals: [
+        {'name': 'i', 'kind': 'number', 'isList': False,
+         'values': [float(r + 1) for r in range(len(vals))]},
+        {'name': 'a', 'kind': 'number', 'isList': False, 'values': vals}]
+    nullnum = {'i': {'type': 'Number'}, 'a': {'type': 'Number', 'none': True}}
+    num = {'i': {'type': 'Number'}, 'a': {'type': 'Number'}}
+    boole = {'i': {'type': 'Number'}, 'f': {'type': 'Boolean'}}
+    stre = {'i': {'type': 'Number'}, 's': {'type': 'String'}}
+    fcol = [
+        {'name': 'i', 'kind': 'number', 'isList': False, 'values': [1.0, 2.0]},
+        {'name': 'f', 'kind': 'boolean', 'isList': False, 'values': [True, False]}]
+    scol = [
+        {'name': 'i', 'kind': 'number', 'isList': False, 'values': [1.0, 2.0]},
+        {'name': 's', 'kind': 'string', 'isList': False, 'values': ['x', 'y']}]
+    icol = [
+        {'name': 'i', 'kind': 'number', 'isList': False, 'values': [1.0]},
+        {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5]}]
+    nv = numcol([None, 10.0, 1.0])
+    gt5 = [{'col': 'a'}, {'gt': 5.0}]
+    return [
+        ('inline_or_true',   nullnum, gt5 + [{'or': True}], nv),
+        ('inline_or_false',  nullnum, gt5 + [{'or': False}], nv),
+        ('inline_and_true',  nullnum, gt5 + [{'and': True}], nv),
+        ('inline_and_false', nullnum, gt5 + [{'and': False}], nv),
+        ('stacked_or_true',  nullnum, gt5 + [{'val': True}, {'or': []}], nv),
+        ('stacked_or_false', nullnum, gt5 + [{'val': False}, {'or': []}], nv),
+        ('bool_add_stacked', boole,
+         [{'col': 'f'}, {'val': True}, {'add': []}, {'eq': 1.0}], fcol),
+        ('bool_add_inline', boole,
+         [{'col': 'f'}, {'add': True}, {'eq': 1.0}], fcol),
+        ('bool_mul_stacked', boole,
+         [{'col': 'f'}, {'val': True}, {'mul': []}, {'eq': 1.0}], fcol),
+        ('bool_add_eq2', boole,
+         [{'col': 'f'}, {'add': True}, {'eq': 2.0}], fcol),
+        ('bool_add_chain_num', boole,
+         [{'col': 'f'}, {'val': True}, {'add': []}, {'val': 1.0}, {'add': []},
+          {'eq': 2.0}], fcol),
+        ('bool_add_cast_str', boole,
+         [{'col': 'f'}, {'val': True}, {'add': []}, {'cast': 'str'},
+          {'eq': 'True'}], fcol),
+        ('bool_cast_str', boole,
+         [{'col': 'f'}, {'cast': 'str'}, {'eq': 'True'}], fcol),
+        ('nan_div_zero', num,
+         [{'col': 'a'}, {'val': 0.0}, {'div': []}, {'val': 0.0}, {'div': []},
+          {'gt': 0.0}], numcol([0.0])),
+        ('div_neg_zero', num,
+         [{'col': 'a'}, {'val': 0.0}, {'neg': []}, {'div': []}, {'gt': 0.0}],
+         numcol([7.0])),
+        ('int_mod_cast_str', num,
+         [{'col': 'a'}, {'mod': 3}, {'cast': 'str'}, {'eq': '2'}], icol),
+        ('int_mod_float_cast_str', num,
+         [{'col': 'a'}, {'mod': 3.0}, {'cast': 'str'}, {'eq': '2.0'}], icol),
+        ('int_mod_neg_cast_str', num,
+         [{'col': 'a'}, {'mod': -3}, {'cast': 'str'}, {'eq': '-1'}], icol),
+        ('num_add_bool_inline', num,
+         [{'col': 'a'}, {'add': True}, {'eq': 6.0}], numcol([5.0])),
+        ('num_eq_bool_inline', num,
+         [{'col': 'a'}, {'eq': True}], numcol([1.0, 0.0])),
+        ('str_eq_bool', stre, [{'col': 's'}, {'eq': True}], scol),
+        ('str_eq_bool_stacked', stre,
+         [{'col': 's'}, {'val': True}, {'eq': []}], scol),
+        ('str_eq_num', stre, [{'col': 's'}, {'eq': 5.0}], scol),
+        ('str_ne_bool', stre, [{'col': 's'}, {'ne': True}], scol),
+        ('str_lt_num_crash', stre, [{'col': 's'}, {'lt': 5.0}], scol),
+        ('len_on_num_crash', num,
+         [{'col': 'a'}, {'len': []}, {'gt': 0.0}], numcol([5.0])),
+    ]
+
+
+def run_probes(out_path):
+    blocks = []
+    n_crash = 0
+    for name, edges, expr, columns in probe_cases():
+        artifact = {'models': {'M': {'indexes': [['i']], 'edges': edges,
+                    'assertions': [{'msg': name, 'expr': expr}]}}}
+        ref = run_reference(artifact, columns)
+        if ref['crash']:
+            n_crash += 1
+        blocks.append({
+            'feature': 'runtime-fuzz-probes',
+            'artifactInline': artifact,
+            'model': 'M',
+            'tests': [{
+                'test': f'probe {name}',
+                'model': 'M',
+                'columns': columns,
+                'goldenViolations': ref['goldenViolations'],
+                'survivorCount': ref['survivorCount'],
+                'aborted': ref['aborted'],
+                **({'crash': ref['crash']} if ref['crash'] else {}),
+            }],
+        })
+    with open(out_path, 'w') as f:
+        json.dump(blocks, f, indent=1)
+    print(f'wrote {len(blocks)} probe cases to {out_path} ({n_crash} reference crashes)')
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('cmd', choices=['gen'])
+    ap.add_argument('cmd', choices=['gen', 'probes'])
     ap.add_argument('out')
     ap.add_argument('--n', type=int, default=300)
     ap.add_argument('--seed', type=int, default=5001)
     args = ap.parse_args()
+
+    if args.cmd == 'probes':
+        run_probes(args.out)
+        return
 
     rng = random.Random(args.seed)
     blocks = []
