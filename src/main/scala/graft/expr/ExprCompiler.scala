@@ -56,7 +56,12 @@ import graft.schema.{Cmd, Op}
   *     dtype and Python semantics (True+True == 2, not logical True); the
   *     no-null numpy semantics (logical) are compiled for both.
   *   - ordered comparisons / LEN / MATCHES / NOT / NEG on a type they
-  *     crash on in Python evaluate to null (vacuous) here.
+  *     crash on in Python evaluate to null (vacuous) here. NOT over a
+  *     NUMERIC column is vacuous too, where the reference's `~` would be
+  *     numpy bitwise invert on an int64 series (and a TypeError on
+  *     float64) — the static Num tag cannot split int from float, and a
+  *     bitwise NOT in a validation predicate is overwhelmingly a schema
+  *     bug, not intent.
   *   - int-typed MOD/DIV with a RUNTIME (column) divisor forces a double
   *     result (pandas' result dtype is value-dependent: any zero divisor
   *     promotes int64 to float64 — not statically reproducible).
@@ -122,7 +127,7 @@ object ExprCompiler {
 
     for (cmd <- expr) {
       val stackArgs = List.fill(cmd.numStackArgs)(pop()).reverse
-      val out = eval(cmd, stackArgs, colRef, colTag)
+      val out = eval(cmd, stackArgs, colRef)
       val tag = outTag(cmd, stackArgs.map(_.tag), colTag)
       // NaN-as-missing applies to numeric outputs only (isnan rejects
       // boolean/string at analysis; a bool-tagged ADD is a logical op)
@@ -186,29 +191,35 @@ object ExprCompiler {
     case other     => throw new IllegalArgumentException(s"Unsupported literal $other")
   }
 
-  /** Python bool-is-int where a bool meets a number (numpy upcasts):
-    * `col - True` is col - 1, `col < True` is col < 1.0 (r4 empirics;
+  /** Python bool-is-int where a bool meets a number: numpy upcasts the
+    * bool to the OTHER operand's dtype (int64 + True stays int64 and
+    * casts to "6", float64 + True is 6.0 — probed live), so the bool side
+    * becomes a bigint 1/0 and Spark's ordinary numeric promotion does the
+    * rest (long+long=long, double+long=double). (r4 empirics;
     * runtime-fuzz cases 0154/0168 + r5 probes 2a-2d/h1/i1). */
   private def numOf(t: TV): Column =
-    if (t.tag == Tag.Bool) t.col.cast("double") else t.col
+    if (t.tag == Tag.Bool) t.col.cast("bigint") else t.col
 
   private def nullBool: Column = lit(null).cast("boolean")
   private def nullDouble: Column = lit(null).cast("double")
   private def nullString: Column = lit(null).cast("string")
 
+  // Python bools are ints for the divisor specialization too: x / True is
+  // x / 1 (no guard needed) and x % False is x % 0 (the NaN fold)
   private def isZeroNum(a: Any): Boolean = a match {
-    case i: Int    => i == 0
-    case l: Long   => l == 0L
-    case d: Double => d == 0.0 // matches -0.0 too
-    case _         => false
+    case i: Int     => i == 0
+    case l: Long    => l == 0L
+    case d: Double  => d == 0.0 // matches -0.0 too
+    case b: Boolean => !b
+    case _          => false
   }
   private def isNumLit(a: Any): Boolean = a match {
-    case _: Int | _: Long | _: Double => true
-    case _                            => false
+    case _: Int | _: Long | _: Double | _: Boolean => true
+    case _                                         => false
   }
 
   private def eval(cmd: Cmd, stackArgs: List[TV],
-                   colRef: String => Column, colTag: String => Tag): Column = {
+                   colRef: String => Column): Column = {
     import Op._
     def operands: List[TV] =
       stackArgs ++ cmd.args.map(a => TV(litArg(a), Tag.ofLiteral(a), Some(a)))
@@ -289,13 +300,22 @@ object ExprCompiler {
         // compilePlus (NaN propagates through `*`, then drops)
         case (a, b) if a.tag == Tag.Bool && b.tag == Tag.Bool =>
           when(a.col.isNull || b.col.isNull, nullBool).otherwise(a.col && b.col)
-        // Python str * int repeats; str * float / str * str crash
+        // Python str * int repeats ('ab' * 3 = 'ababab', negative -> "",
+        // and a whole int64 SERIES repeats elementwise too — probed live);
+        // str * float-literal / str * str crash the reference
         case (a, b) if a.tag == Tag.Str || b.tag == Tag.Str =>
           val (s, n) = if (a.tag == Tag.Str) (a, b) else (b, a)
           n.litVal match {
             case Some(i: Int)  => repeat(s.col, i)
             case Some(l: Long) if l == l.toInt => repeat(s.col, l.toInt)
-            case _             => nullString // reference TypeError
+            case Some(_)       => nullString // float/str/bool literal: TypeError
+            case None if n.tag == Tag.Num || n.tag == Tag.Unknown =>
+              // runtime multiplier: int64 repeats in the reference, float
+              // crashes (crash-class, so truncating it here is a valid
+              // completion); pandas '' on negatives, absent stays absent
+              when(s.col.isNull || n.col.isNull, nullString)
+                .otherwise(repeat(s.col, greatest(n.col.cast("int"), lit(0))))
+            case None          => nullString // bool series: TypeError
           }
         case (a, b) => numOf(a) * numOf(b)
       }
@@ -404,6 +424,7 @@ object ExprCompiler {
     * always float64). */
   private def compileDiv(ops: (TV, TV)): Column = {
     val (a0, b0) = ops
+    if (a0.tag == Tag.Str || b0.tag == Tag.Str) return nullDouble // ref TypeError
     val a = numOf(a0).cast("double")
     val b = numOf(b0).cast("double")
     def zeroBranch(negZero: Column): Column =

@@ -536,14 +536,26 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       c -> plan
     }
 
-    // evaluate all pending casts' null-deltas in one job
+    // evaluate all pending casts' null-deltas in one job. The source
+    // column's Spark type feeds the compile as its tag so type-directed
+    // opcodes in user-defined cast programs (e.g. a bool {cast:"str"}
+    // rendering "True"/"False" Python-style) behave as on the assertion
+    // path — the natives only cast Number<->String, but custom types may
+    // declare richer conversions.
     val pending = plans.collect { case (c, NeedsCast(p)) => c -> p }
+    def sparkTag(dt: DataType): ExprCompiler.Tag = dt match {
+      case BooleanType      => ExprCompiler.Tag.Bool
+      case _: NumericType   => ExprCompiler.Tag.Num
+      case _: StringType    => ExprCompiler.Tag.Str
+      case _                => ExprCompiler.Tag.Unknown
+    }
     val castCols: Map[String, Column] = pending.map { case (c, program) =>
       val full = Cmd.one(Op.COL, c) :: program
       val casted = df0.schema(c).dataType match {
-        case ArrayType(_, _) =>
-          transform(col(c), x => ExprCompiler.compile(full, _ => x))
-        case _ => ExprCompiler.compile(full)
+        case ArrayType(elem, _) =>
+          transform(col(c), x =>
+            ExprCompiler.compile(full, _ => x, colTag = _ => sparkTag(elem)))
+        case dt => ExprCompiler.compile(full, colTag = _ => sparkTag(dt))
       }
       c -> casted
     }.toMap

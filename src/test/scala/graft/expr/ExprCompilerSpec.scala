@@ -271,6 +271,54 @@ class ExprCompilerSpec extends SparkSuite {
     assert(negMod == Seq("-1"), s"5 %% -3 = -1 (pandas), got $negMod")
   }
 
+  test("bool upcasts to the OTHER operand's dtype (int64 + True stays int64)") {
+    // probed live: (pd.Series([5], dtype=int64) + True).astype(str) == "6"
+    // (not "6.0"); int64 % True stays int64 0. The bool coerces to a
+    // bigint 1/0 and ordinary numeric promotion picks the result type.
+    import spark.implicits._
+    val d = Seq(5L).toDF("x")
+    def run(cmds: List[Cmd]): Seq[Any] =
+      d.select(ExprCompiler.compile(cmds, colTag = _ => ExprCompiler.Tag.Num))
+        .collect().map(_.get(0)).toSeq
+    assert(run(List(Cmd.one(COL, "x"), Cmd(ADD, List(true)), Cmd.one(CAST, "str"))) == Seq("6"))
+    assert(run(List(Cmd.one(COL, "x"), Cmd(MOD, List(true)), Cmd.one(CAST, "str"))) == Seq("0"))
+    // float keeps float: 5.0 + True = 6.0
+    val df2 = Seq(5.0).toDF("x")
+    val f = df2.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "x"), Cmd(ADD, List(true)), Cmd.one(CAST, "str"))))
+      .collect().map(_.get(0)).toSeq
+    assert(f == Seq("6.0"))
+    // x / False = x / 0 (IEEE), x / True = x / 1
+    assert(run(List(Cmd.one(COL, "x"), Cmd(DIV, List(false)))) == Seq(Double.PositiveInfinity))
+    assert(run(List(Cmd.one(COL, "x"), Cmd(DIV, List(true)))) == Seq(5.0))
+  }
+
+  test("DIV/MOD on a string operand are vacuous (reference TypeError), never ANSI casts") {
+    import spark.implicits._
+    val d = Seq("5", "x").toDF("s")
+    def run(cmds: List[Cmd]): Seq[Any] =
+      d.select(ExprCompiler.compile(cmds, colTag = _ => ExprCompiler.Tag.Str))
+        .collect().map(_.get(0)).toSeq
+    // an unguarded cast would CRASH on "x" under ANSI and silently divide "5"
+    assert(run(List(Cmd.one(COL, "s"), Cmd(DIV, List(2.0)))) == Seq(null, null))
+    assert(run(List(Cmd.one(COL, "s"), Cmd(MOD, List(2.0)))) == Seq(null, null))
+  }
+
+  test("str * int COLUMN repeats elementwise (pandas str-series * int64-series)") {
+    import spark.implicits._
+    val d = Seq(("ab", 2L), ("cd", 3L), ("ef", -1L)).toDF("s", "n")
+    val tags = Map("s" -> ExprCompiler.Tag.Str, "n" -> ExprCompiler.Tag.Num)
+    val rep = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "s"), Cmd.one(COL, "n"), Cmd(MUL)),
+      colTag = tags.apply)).collect().map(_.get(0)).toSeq
+    assert(rep == Seq("abab", "cdcdcd", ""), s"negative multiplier -> empty, got $rep")
+    // the single-edge-reachable form: s * len(s)
+    val selfRep = d.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "s"), Cmd.one(COL, "s"), Cmd(LEN), Cmd(MUL)),
+      colTag = tags.apply)).collect().map(_.get(0)).toSeq
+    assert(selfRep == Seq("abab", "cdcd", "efef"))
+  }
+
   test("str * int literal repeats the string (Python `'ab' * 3`)") {
     import spark.implicits._
     val d = Seq("ab").toDF("s")

@@ -362,7 +362,12 @@ def gen_case(rng, case_id):
     # null-bearing column switches the reference to Python int semantics
     # (see inline_bool_arith) — keep that class out of generated corpora
     for a in model.get('assertions', []):
-        if a['expr'] and a['expr'][0].get('col') in null_edges:
+        # gate on ANY referenced column being null-bearing: a nested
+        # bool-arith can sit behind a leading VAL literal, so expr[0]
+        # alone under-matches
+        refs = {c['col'] for c in a['expr']
+                if isinstance(c, dict) and set(c) == {'col'}}
+        if refs & null_edges:
             a['expr'] = inline_bool_arith(a['expr'])
     return {'models': {'M': model}}, columns
 
