@@ -139,6 +139,48 @@ object SparkEntry {
           Cmd.one(EQ, 500.0), Cmd(OR)).as("ge_eq"))
     }),
 
+    // == Kye engine: TYPE-DIRECTED operator dispatch (r5 runtime-fuzz
+    // semantics, SURVEY §2.1 refinement) — inline-vs-stacked logical args,
+    // bool-is-int with dtype-faithful promotion, Python str(bool), int64
+    // floor-mod through cast-str, elementwise string repeat, cross-type
+    // comparisons. Every rule here is ALSO pinned bit-for-bit against the
+    // live reference VM by runtime_fuzz/probes_r5.json; this query puts
+    // the same rules under the DuckDB hash gate. ==
+    "q_expr_bool_dispatch" -> ((s, dir) => {
+      import Op._
+      val tags: String => ExprCompiler.Tag = {
+        case "value" | "event_id" => ExprCompiler.Tag.Num
+        case "event_type"         => ExprCompiler.Tag.Str
+        case _                    => ExprCompiler.Tag.Unknown
+      }
+      def p(cmds: Cmd*): org.apache.spark.sql.Column =
+        ExprCompiler.compile(cmds, colTag = tags)
+      val vgt = List(Cmd.one(COL, "value"), Cmd.one(GT, 50.0))
+      events(s, dir).select(
+        col("event_id"),
+        // inline literal OR: absent left stays ABSENT (left-index rule)
+        p(vgt :+ Cmd(OR, List(true)): _*).as("or_inline_true"),
+        // stacked VAL OR: absent left poisons to FALSE (alignment rule)
+        p(vgt ++ List(Cmd(VAL, List(true)), Cmd(OR)): _*).as("or_stacked_true"),
+        // bool+bool = logical OR, then compared as 1/0 (bool-is-int)
+        p(vgt ++ List(Cmd(ADD, List(true)), Cmd.one(EQ, 1.0)): _*).as("badd_eq1"),
+        // bool*bool = logical AND; Python str(bool) casing
+        p(vgt ++ List(Cmd(MUL, List(true)), Cmd.one(CAST, "str")): _*).as("bmul_str"),
+        // int64 floor-mod with an int literal stays integral ("3", not "3.0")
+        p(Cmd.one(COL, "event_id"), Cmd(MOD, List(7)), Cmd.one(CAST, "str")).as("mod7_str"),
+        // bool upcasts to the other operand's dtype: long + True stays long
+        p(Cmd.one(COL, "event_id"), Cmd(ADD, List(true)), Cmd.one(CAST, "str")).as("addtrue_str"),
+        // pandas str-series * int64-series repeats elementwise
+        p(Cmd.one(COL, "event_type"), Cmd.one(COL, "event_type"), Cmd(LEN), Cmd(MUL)).as("etype_rep"),
+        // cross-type EQ completes elementwise FALSE over present rows
+        p(Cmd.one(COL, "event_type"), Cmd(EQ, List(5.0))).as("etype_eq_num"),
+        // cross-type ordered comparison: vacuous (reference TypeError) —
+        // asserted via isNull so the compared column is non-null (an
+        // all-null boolean column renders differently through the two
+        // compare paths' pandas materializations)
+        p(Cmd.one(COL, "event_type"), Cmd(LT, List(5.0))).isNull.as("etype_lt_vacuous"))
+    }),
+
     // == Kye engine: COUNT opcode (aggregate context, artifact-reachable
     // only — kyepy op.py:40 / vm.py:112-113) ==
     "q_expr_count" -> ((s, dir) => {
@@ -493,6 +535,27 @@ object SparkEntry {
         | ((value - 1) * 2) / 4 AS arith_chain,
         | value != 9.64 AS ne_lit,
         | event_id >= 500 OR event_id = 500 AS ge_eq
+        |FROM events""".stripMargin,
+    "q_expr_bool_dispatch" ->
+      // reference dispatch semantics spelled out (each rule also pinned
+      // against the live reference VM by runtime_fuzz/probes_r5.json):
+      // inline OR keeps the left index (null stays null) while stacked
+      // VAL OR poisons an absent left to FALSE; bool+bool is logical OR
+      // compared as 1/0; bool*bool logical AND with Python str casing;
+      // int64 arithmetic with int literals stays integral through
+      // cast-str; str * len repeats; str==num is elementwise FALSE and
+      // str<num vacuous
+      """SELECT event_id,
+        | CASE WHEN value IS NULL THEN NULL ELSE TRUE END AS or_inline_true,
+        | CASE WHEN value IS NULL THEN FALSE ELSE TRUE END AS or_stacked_true,
+        | CASE WHEN value IS NULL THEN NULL ELSE TRUE END AS badd_eq1,
+        | CASE WHEN value IS NULL THEN NULL
+        |      WHEN value > 50 THEN 'True' ELSE 'False' END AS bmul_str,
+        | CAST(event_id % 7 AS VARCHAR) AS mod7_str,
+        | CAST(event_id + 1 AS VARCHAR) AS addtrue_str,
+        | repeat(event_type, length(event_type)) AS etype_rep,
+        | CASE WHEN event_type IS NULL THEN NULL ELSE FALSE END AS etype_eq_num,
+        | TRUE AS etype_lt_vacuous
         |FROM events""".stripMargin,
     "q_expr_count" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types,
