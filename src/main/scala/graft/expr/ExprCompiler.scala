@@ -55,13 +55,13 @@ import graft.schema.{Cmd, Op}
   *   - bool+bool over a column CONTAINING nulls switches pandas to object
   *     dtype and Python semantics (True+True == 2, not logical True); the
   *     no-null numpy semantics (logical) are compiled for both.
-  *   - ordered comparisons / LEN / MATCHES / NOT / NEG on a type they
-  *     crash on in Python evaluate to null (vacuous) here. NOT over a
-  *     NUMERIC column is vacuous too, where the reference's `~` would be
-  *     numpy bitwise invert on an int64 series (and a TypeError on
-  *     float64) — the static Num tag cannot split int from float, and a
-  *     bitwise NOT in a validation predicate is overwhelmingly a schema
-  *     bug, not intent.
+  *   - ordered comparisons / LEN / MATCHES / NOT / NEG / AND / OR on a
+  *     type they crash on in Python evaluate to null (vacuous) here.
+  *     NOT/AND/OR over a NUMERIC column are vacuous too, where the
+  *     reference's `~`/`&`/`|` would be numpy BITWISE ops on an int64
+  *     series (and a TypeError on float64) — the static Num tag cannot
+  *     split int from float, and bitwise logic in a validation predicate
+  *     is overwhelmingly a schema bug, not intent.
   *   - int-typed MOD/DIV with a RUNTIME (column) divisor forces a double
   *     result (pandas' result dtype is value-dependent: any zero divisor
   *     promotes int64 to float64 — not statically reproducible).
@@ -92,6 +92,14 @@ object ExprCompiler {
       case _: Int | _: Long | _: Double => Num
       case _: String              => Str
       case _                      => Unknown
+    }
+    /** The one Spark-schema -> Tag mapping (S3 cast programs and S4
+      * assertions must agree on it). */
+    def ofDataType(dt: org.apache.spark.sql.types.DataType): Tag = dt match {
+      case org.apache.spark.sql.types.BooleanType    => Bool
+      case _: org.apache.spark.sql.types.NumericType => Num
+      case _: org.apache.spark.sql.types.StringType  => Str
+      case _                                         => Unknown
     }
   }
 
@@ -301,21 +309,25 @@ object ExprCompiler {
         case (a, b) if a.tag == Tag.Bool && b.tag == Tag.Bool =>
           when(a.col.isNull || b.col.isNull, nullBool).otherwise(a.col && b.col)
         // Python str * int repeats ('ab' * 3 = 'ababab', negative -> "",
-        // and a whole int64 SERIES repeats elementwise too — probed live);
+        // a whole int64 SERIES repeats elementwise, and bools are ints
+        // here too: 'ab' * True = 'ab', * False = '' — all probed live);
         // str * float-literal / str * str crash the reference
         case (a, b) if a.tag == Tag.Str || b.tag == Tag.Str =>
           val (s, n) = if (a.tag == Tag.Str) (a, b) else (b, a)
           n.litVal match {
             case Some(i: Int)  => repeat(s.col, i)
             case Some(l: Long) if l == l.toInt => repeat(s.col, l.toInt)
-            case Some(_)       => nullString // float/str/bool literal: TypeError
-            case None if n.tag == Tag.Num || n.tag == Tag.Unknown =>
-              // runtime multiplier: int64 repeats in the reference, float
-              // crashes (crash-class, so truncating it here is a valid
-              // completion); pandas '' on negatives, absent stays absent
+            case Some(bl: Boolean) => repeat(s.col, if (bl) 1 else 0)
+            case Some(_)       => nullString // float/str literal: TypeError
+            case None if n.tag != Tag.Str =>
+              // runtime multiplier: int64 and bool series repeat in the
+              // reference, float crashes (crash-class, so truncating is a
+              // valid completion); try_cast so an out-of-int-range or NaN
+              // multiplier completes (null -> "") instead of throwing the
+              // ANSI cast error; pandas '' on negatives, absent absent
               when(s.col.isNull || n.col.isNull, nullString)
-                .otherwise(repeat(s.col, greatest(n.col.cast("int"), lit(0))))
-            case None          => nullString // bool series: TypeError
+                .otherwise(repeat(s.col, greatest(numOf(n).try_cast("int"), lit(0))))
+            case None          => nullString // str series: TypeError
           }
         case (a, b) => numOf(a) * numOf(b)
       }
@@ -382,6 +394,12 @@ object ExprCompiler {
   private def compileLogical(cmd: Cmd, ops: (TV, TV))
                             (f: (Column, Column) => Column): Column = {
     val (a, b) = ops
+    // `|`/`&` on a known non-bool operand: Python raises TypeError on
+    // float/str series (crash-class -> vacuous; Spark's `||` would refuse
+    // the type at ANALYSIS and abort the whole job otherwise). On int64
+    // it is numpy BITWISE or/and — unreproducible under the int/float-
+    // blind Num tag, same documented deviation class as NOT-on-numeric.
+    if (Seq(a.tag, b.tag).exists(t => t == Tag.Num || t == Tag.Str)) return nullBool
     if (cmd.args.nonEmpty) {
       // inline right operand: a non-null literal, so Kleene == pandas on
       // present rows; preserve the left's absence
@@ -401,10 +419,10 @@ object ExprCompiler {
     *     asymmetric fill);
     *   - otherwise numeric, bools upcast to 1.0/0.0. */
   private def compilePlus(op: Op, ops: (TV, TV)): Column = ops match {
-    case (a, b) if a.tag == Tag.Str && b.tag == Tag.Str => concat(a.col, b.col)
-    case (a, b) if strVsNonStr(a.tag, b.tag)            => nullString
-    // Unknown beside a Str: assume string concat (the DSL's only `+` on
-    // strings; a runtime number there would have crashed the reference)
+    case (a, b) if strVsNonStr(a.tag, b.tag) => nullString
+    // both Str, or Unknown beside a Str: string concat (the DSL's only
+    // `+` on strings; a runtime number there would have crashed the
+    // reference)
     case (a, b) if a.tag == Tag.Str || b.tag == Tag.Str => concat(a.col, b.col)
     case (a, b) if a.tag == Tag.Bool && b.tag == Tag.Bool =>
       when(a.col.isNull || b.col.isNull, nullBool).otherwise(a.col || b.col)

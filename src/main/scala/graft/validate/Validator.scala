@@ -165,12 +165,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       // declared-type tags for bool-is-int coercion (Python bools are
       // ints: the reference computes `col - True` / `col < True` as
       // numeric ops) — the post-S3 Spark schema is ground truth here
-      def tagOf(dt: DataType): ExprCompiler.Tag = dt match {
-        case BooleanType                   => ExprCompiler.Tag.Bool
-        case _: NumericType                => ExprCompiler.Tag.Num
-        case s if s.isInstanceOf[StringType] => ExprCompiler.Tag.Str
-        case _                             => ExprCompiler.Tag.Unknown
-      }
+      def tagOf(dt: DataType): ExprCompiler.Tag = ExprCompiler.Tag.ofDataType(dt)
       val fieldIdx = df.schema.fields.map(f => f.name -> f.dataType).toMap
       val schemaTag: String => ExprCompiler.Tag =
         n => fieldIdx.get(n).map(tagOf).getOrElse(ExprCompiler.Tag.Unknown)
@@ -543,12 +538,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     // path — the natives only cast Number<->String, but custom types may
     // declare richer conversions.
     val pending = plans.collect { case (c, NeedsCast(p)) => c -> p }
-    def sparkTag(dt: DataType): ExprCompiler.Tag = dt match {
-      case BooleanType      => ExprCompiler.Tag.Bool
-      case _: NumericType   => ExprCompiler.Tag.Num
-      case _: StringType    => ExprCompiler.Tag.Str
-      case _                => ExprCompiler.Tag.Unknown
-    }
+    def sparkTag(dt: DataType): ExprCompiler.Tag = ExprCompiler.Tag.ofDataType(dt)
     val castCols: Map[String, Column] = pending.map { case (c, program) =>
       val full = Cmd.one(Op.COL, c) :: program
       val casted = df0.schema(c).dataType match {

@@ -322,15 +322,44 @@ class ExprCompilerSpec extends SparkSuite {
   test("str * int literal repeats the string (Python `'ab' * 3`)") {
     import spark.implicits._
     val d = Seq("ab").toDF("s")
-    val rep = d.select(ExprCompiler.compile(List(
-      Cmd.one(COL, "s"), Cmd(MUL, List(3))), colTag = _ => ExprCompiler.Tag.Str))
-      .collect().map(_.getString(0)).toSeq
-    assert(rep == Seq("ababab"))
+    def one(cmds: List[Cmd]): Any =
+      d.select(ExprCompiler.compile(cmds, colTag = _ => ExprCompiler.Tag.Str))
+        .collect().map(_.get(0)).head
+    assert(one(List(Cmd.one(COL, "s"), Cmd(MUL, List(3)))) == "ababab")
     // float multiplier crashes the reference -> vacuous here
-    val flt = d.select(ExprCompiler.compile(List(
-      Cmd.one(COL, "s"), Cmd(MUL, List(3.0))), colTag = _ => ExprCompiler.Tag.Str))
-      .collect().map(_.get(0)).toSeq
-    assert(flt == Seq(null))
+    assert(one(List(Cmd.one(COL, "s"), Cmd(MUL, List(3.0)))) == null)
+    // bools are ints: 'ab' * True = 'ab', * False = '' (probed live)
+    assert(one(List(Cmd.one(COL, "s"), Cmd(MUL, List(true)))) == "ab")
+    assert(one(List(Cmd.one(COL, "s"), Cmd(MUL, List(false)))) == "")
+    // a stacked bool multiplier repeats elementwise too
+    assert(one(List(Cmd.one(COL, "s"), Cmd(VAL, List(false)), Cmd(MUL))) == "")
+    // an out-of-int-range runtime multiplier COMPLETES (crash-class:
+    // the reference MemoryErrors; an ANSI cast would kill the job)
+    val big = Seq(("ab", 5e9)).toDF("s", "n")
+    val tags = Map("s" -> ExprCompiler.Tag.Str, "n" -> ExprCompiler.Tag.Num)
+    val r = big.select(ExprCompiler.compile(List(
+      Cmd.one(COL, "s"), Cmd.one(COL, "n"), Cmd(MUL)), colTag = tags.apply))
+      .collect().map(_.get(0)).head
+    assert(r == "", s"overflow multiplier completes as empty, got '$r'")
+  }
+
+  test("AND/OR on a known non-bool operand are vacuous, never analysis errors") {
+    // Python: float|True / str|True raise TypeError (crash-class);
+    // int64|True is numpy bitwise — both land on the documented vacuous
+    // deviation; an unguarded Spark `||` would refuse the type at
+    // ANALYSIS and abort the whole job
+    import spark.implicits._
+    val d = Seq(5.0).toDF("n")
+    def run(tag: ExprCompiler.Tag, cmds: List[Cmd]): Any =
+      d.select(ExprCompiler.compile(cmds, colTag = _ => tag))
+        .collect().map(_.get(0)).head
+    assert(run(ExprCompiler.Tag.Num, List(Cmd.one(COL, "n"), Cmd(OR, List(true)))) == null)
+    assert(run(ExprCompiler.Tag.Num, List(Cmd.one(COL, "n"), Cmd(VAL, List(true)), Cmd(AND))) == null)
+    val s = Seq("x").toDF("n")
+    val r = s.select(ExprCompiler.compile(
+      List(Cmd.one(COL, "n"), Cmd(OR, List(false))),
+      colTag = _ => ExprCompiler.Tag.Str)).collect().map(_.get(0)).head
+    assert(r == null)
   }
 
   test("COUNT compiles in aggregate context as distinct count") {
