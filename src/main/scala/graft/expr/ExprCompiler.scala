@@ -84,23 +84,37 @@ object ExprCompiler {
   sealed trait Tag
   object Tag {
     case object Bool extends Tag
+    /** Float-or-unknown-kind numeric. */
     case object Num extends Tag
+    /** KNOWN-integral numeric (int64 column / int literal): Python defines
+      * `&`/`|`/`~` on it (bitwise) where float crashes — the only dispatch
+      * decisions that read the int/float split; everywhere else NumInt
+      * [[widen]]s to Num. */
+    case object NumInt extends Tag
     case object Str extends Tag
     case object Unknown extends Tag
     def ofLiteral(a: Any): Tag = a match {
-      case _: Boolean             => Bool
-      case _: Int | _: Long | _: Double => Num
-      case _: String              => Str
-      case _                      => Unknown
+      case _: Boolean       => Bool
+      case _: Int | _: Long => NumInt
+      case _: Double        => Num
+      case _: String        => Str
+      case _                => Unknown
     }
     /** The one Spark-schema -> Tag mapping (S3 cast programs and S4
       * assertions must agree on it). */
-    def ofDataType(dt: org.apache.spark.sql.types.DataType): Tag = dt match {
-      case org.apache.spark.sql.types.BooleanType    => Bool
-      case _: org.apache.spark.sql.types.NumericType => Num
-      case _: org.apache.spark.sql.types.StringType  => Str
-      case _                                         => Unknown
+    def ofDataType(dt: org.apache.spark.sql.types.DataType): Tag = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case BooleanType => Bool
+        // IntegralType itself is private[sql]
+        case ByteType | ShortType | IntegerType | LongType => NumInt
+        case _: NumericType => Num
+        case _: StringType  => Str
+        case _              => Unknown
+      }
     }
+    /** Collapse the int/float split for the int-blind dispatch sites. */
+    def widen(t: Tag): Tag = if (t == NumInt) Num else t
   }
 
   /** A stack slot: the compiled Column, its static type tag, and — when the
@@ -166,7 +180,9 @@ object ExprCompiler {
       }
       case VAL => cmd.args.headOption.map(Tag.ofLiteral).getOrElse(Tag.Unknown)
       case CAST => if (cmd.args.lastOption.contains("str")) Tag.Str else Tag.Num
-      case NA | DEF | NOT | OR | AND | LT | GT | LE | GE | EQ | NE | MATCHES => Tag.Bool
+      // ~int64 is bitwise invert with an int64 result (probed live)
+      case NOT => if (argTags == List(Tag.NumInt)) Tag.NumInt else Tag.Bool
+      case NA | DEF | OR | AND | LT | GT | LE | GE | EQ | NE | MATCHES => Tag.Bool
       // `+`/`*` are type-directed: str wins (concat / repeat), two bools
       // stay bool (logical), anything else is numeric
       case ADD | CONCAT | MUL =>
@@ -207,6 +223,16 @@ object ExprCompiler {
     * runtime-fuzz cases 0154/0168 + r5 probes 2a-2d/h1/i1). */
   private def numOf(t: TV): Column =
     if (t.tag == Tag.Bool) t.col.cast("bigint") else t.col
+
+  /** Upper bound on string-repeat multiplicity: above it the reference
+    * MemoryErrors (crash-class), so a truncated completion is valid — and
+    * an uncapped repeat would OOM the executor instead of completing. */
+  private val RepeatCap = 1 << 20
+  /** Literal repeat count, mirroring the runtime path's completions:
+    * negative -> 0 (''), beyond Int range -> 0 (the runtime try_cast
+    * yields null -> 0), else capped. */
+  private def clampRepeat(l: Long): Int =
+    if (l < 0L || l > Int.MaxValue.toLong) 0 else math.min(l, RepeatCap.toLong).toInt
 
   private def nullBool: Column = lit(null).cast("boolean")
   private def nullDouble: Column = lit(null).cast("double")
@@ -274,11 +300,12 @@ object ExprCompiler {
       // exactly the reference, where such rows are missing from the series
       case (NA, _, _)  => { val e = unary.col; when(e.isNotNull, e.isNull) }
       case (DEF, _, _) => { val e = unary.col; when(e.isNotNull, lit(true)) }
-      // Python ~ is only defined on bools (ints aside); on float/str series
-      // the reference crashes (TypeError) — vacuous here, and Spark's !
-      // would refuse the type at analysis anyway
+      // Python ~: logical not on bools, BITWISE invert on int64
+      // (~n == -n-1, probed live), TypeError on float/str series
+      // (crash-class -> vacuous; Spark's ! refuses those at analysis)
       case (NOT, _, _) => unary match {
         case TV(c, Tag.Bool | Tag.Unknown, _) => !c
+        case TV(c, Tag.NumInt, _)             => negate(c + lit(1L))
         case _                                => nullBool
       }
       // numpy: -bool raises (crash-class: any completion is parity); -str
@@ -315,18 +342,22 @@ object ExprCompiler {
         case (a, b) if a.tag == Tag.Str || b.tag == Tag.Str =>
           val (s, n) = if (a.tag == Tag.Str) (a, b) else (b, a)
           n.litVal match {
-            case Some(i: Int)  => repeat(s.col, i)
-            case Some(l: Long) if l == l.toInt => repeat(s.col, l.toInt)
+            case Some(i: Int)  => repeat(s.col, clampRepeat(i.toLong))
+            case Some(l: Long) => repeat(s.col, clampRepeat(l))
             case Some(bl: Boolean) => repeat(s.col, if (bl) 1 else 0)
             case Some(_)       => nullString // float/str literal: TypeError
             case None if n.tag != Tag.Str =>
               // runtime multiplier: int64 and bool series repeat in the
               // reference, float crashes (crash-class, so truncating is a
               // valid completion); try_cast so an out-of-int-range or NaN
-              // multiplier completes (null -> "") instead of throwing the
-              // ANSI cast error; pandas '' on negatives, absent absent
+              // multiplier completes (null -> 0 -> "", matching the
+              // literal clamp) instead of throwing the ANSI cast error;
+              // the RepeatCap keeps an absurd multiplier from OOMing the
+              // executor where the reference would MemoryError (both
+              // crash-class completions); pandas '' on negatives
               when(s.col.isNull || n.col.isNull, nullString)
-                .otherwise(repeat(s.col, greatest(numOf(n).try_cast("int"), lit(0))))
+                .otherwise(repeat(s.col,
+                  least(greatest(numOf(n).try_cast("int"), lit(0)), lit(RepeatCap))))
             case None          => nullString // str series: TypeError
           }
         case (a, b) => numOf(a) * numOf(b)
@@ -357,9 +388,11 @@ object ExprCompiler {
 
   /** Is this (Tag, Tag) pair a cross-type pair Python evaluates elementwise
     * to False on `==` and crashes on ordered comparison: str vs num/bool. */
-  private def strVsNonStr(a: Tag, b: Tag): Boolean =
+  private def strVsNonStr(a0: Tag, b0: Tag): Boolean = {
+    val (a, b) = (Tag.widen(a0), Tag.widen(b0))
     (a == Tag.Str && (b == Tag.Num || b == Tag.Bool)) ||
     (b == Tag.Str && (a == Tag.Num || a == Tag.Bool))
+  }
 
   /** EQ/NE. Bool-vs-num compares as 1/0 (True == 1.0 is True, True == 2.0
     * is False — r5 probes i1/2d); str-vs-num/bool is elementwise False in
@@ -368,8 +401,8 @@ object ExprCompiler {
   private def compileEquality(ops: (TV, TV), negated: Boolean): Column = ops match {
     case (a, b) if strVsNonStr(a.tag, b.tag) =>
       when(a.col.isNull || b.col.isNull, nullBool).otherwise(lit(negated))
-    case (a, b) if (a.tag == Tag.Bool && b.tag == Tag.Num) ||
-                   (b.tag == Tag.Bool && a.tag == Tag.Num) =>
+    case (a, b) if (a.tag == Tag.Bool && Tag.widen(b.tag) == Tag.Num) ||
+                   (b.tag == Tag.Bool && Tag.widen(a.tag) == Tag.Num) =>
       if (negated) numOf(a) =!= numOf(b) else numOf(a) === numOf(b)
     case (a, b) =>
       if (negated) a.col =!= b.col else a.col === b.col
@@ -380,8 +413,8 @@ object ExprCompiler {
   private def compileOrdered(ops: (TV, TV))(f: (Column, Column) => Column): Column =
     ops match {
       case (a, b) if strVsNonStr(a.tag, b.tag) => nullBool
-      case (a, b) if (a.tag == Tag.Bool && b.tag == Tag.Num) ||
-                     (b.tag == Tag.Bool && a.tag == Tag.Num) =>
+      case (a, b) if (a.tag == Tag.Bool && Tag.widen(b.tag) == Tag.Num) ||
+                     (b.tag == Tag.Bool && Tag.widen(a.tag) == Tag.Num) =>
         f(numOf(a), numOf(b))
       case (a, b) => f(a.col, b.col)
     }
@@ -394,12 +427,29 @@ object ExprCompiler {
   private def compileLogical(cmd: Cmd, ops: (TV, TV))
                             (f: (Column, Column) => Column): Column = {
     val (a, b) = ops
-    // `|`/`&` on a known non-bool operand: Python raises TypeError on
-    // float/str series (crash-class -> vacuous; Spark's `||` would refuse
-    // the type at ANALYSIS and abort the whole job otherwise). On int64
-    // it is numpy BITWISE or/and — unreproducible under the int/float-
-    // blind Num tag, same documented deviation class as NOT-on-numeric.
-    if (Seq(a.tag, b.tag).exists(t => t == Tag.Num || t == Tag.Str)) return nullBool
+    // `|`/`&` on non-bool operands, Python semantics probed live:
+    //  - int64 meets bool: numpy bitwise against 0/1 with a BOOLEAN
+    //    result (Series([5,2,0]) & True -> [True,False,False]) —
+    //    reproduced exactly below;
+    //  - float or str series: TypeError (crash-class -> vacuous; Spark's
+    //    `||` would refuse the type at ANALYSIS and abort the whole job);
+    //  - int64 meets int64: raw bitwise with an INT64 result — vacuous
+    //    here (documented deviation: an int-valued logical op in a
+    //    predicate is a schema bug; its int result type also contradicts
+    //    the Bool slot downstream opcodes expect).
+    (a.tag, b.tag) match {
+      case (Tag.NumInt, Tag.Bool) | (Tag.Bool, Tag.NumInt) =>
+        val (n, bb) = if (a.tag == Tag.NumInt) (a, b) else (b, a)
+        val nInt = n.col.cast("bigint")
+        val bInt = bb.col.cast("bigint")
+        val bits =
+          if (cmd.op == Op.AND) nInt.bitwiseAND(bInt) else nInt.bitwiseOR(bInt)
+        return when(a.col.isNull || b.col.isNull, nullBool).otherwise(bits =!= 0)
+      case (ta, tb)
+        if Seq(ta, tb).exists(t => t == Tag.Num || t == Tag.NumInt || t == Tag.Str) =>
+        return nullBool
+      case _ => // bool/unknown operands: the pandas alignment rules below
+    }
     if (cmd.args.nonEmpty) {
       // inline right operand: a non-null literal, so Kleene == pandas on
       // present rows; preserve the left's absence

@@ -441,6 +441,9 @@ def probe_cases():
     icol = [
         {'name': 'i', 'kind': 'number', 'isList': False, 'values': [1.0]},
         {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5]}]
+    icol3 = [
+        {'name': 'i', 'kind': 'number', 'isList': False, 'values': [1.0, 2.0, 3.0]},
+        {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5, 2, 0]}]
     nv = numcol([None, 10.0, 1.0])
     gt5 = [{'col': 'a'}, {'gt': 5.0}]
     return [
@@ -490,6 +493,21 @@ def probe_cases():
         ('str_lt_num_crash', stre, [{'col': 's'}, {'lt': 5.0}], scol),
         ('len_on_num_crash', num,
          [{'col': 'a'}, {'len': []}, {'gt': 0.0}], numcol([5.0])),
+        # int64 meets bool on &/|: numpy bitwise against 0/1, BOOLEAN result
+        ('int_and_true_inline', num, [{'col': 'a'}, {'and': True}], icol3),
+        ('int_or_false_inline', num, [{'col': 'a'}, {'or': False}], icol3),
+        ('int_or_bool_stacked', num,
+         [{'col': 'a'}, {'val': True}, {'or': []}], icol3),
+        # ~int64 is bitwise invert (~5 == -6)
+        ('int_not_bitwise', num,
+         [{'col': 'a'}, {'not': []}, {'eq': -6.0}], [
+            {'name': 'i', 'kind': 'number', 'isList': False, 'values': [1.0, 2.0]},
+            {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5, 2]}]),
+        # str * bool is bool-is-int repeat ('x' * True = 'x', * False = '')
+        ('str_mul_true_inline', stre,
+         [{'col': 's'}, {'mul': True}, {'eq': 'x'}], scol),
+        ('str_mul_false_stacked', stre,
+         [{'col': 's'}, {'val': False}, {'mul': []}, {'eq': ''}], scol),
     ]
 
 
