@@ -278,7 +278,22 @@ def gen_case(rng, case_id):
         nm = rng.choice(candidates)
         if kinds[nm] in ('string_numbers', 'string_junk'):
             continue  # column type after cast is ambiguous; skip
-        cmds, _ = gen_expr(rng, nm, edges[nm]['type'])
+        if kinds[nm] == 'integer' and not edges[nm].get('many') and rng.random() < 0.3:
+            # int64-specific dispatch the typed gen_expr can't produce:
+            # &/| against a bool (numpy bitwise against 0/1, bool result),
+            # ~ (bitwise invert), str-blind here since the edge is Number
+            roll = rng.random()
+            if roll < 0.4:
+                cmds = [{'col': nm}, {rng.choice(['and', 'or']): rand_bool(rng)}]
+            elif roll < 0.6:
+                cmds = [{'col': nm}, {'val': rand_bool(rng)},
+                        {rng.choice(['and', 'or']): []}]
+            else:
+                cmds = [{'col': nm}, {'not': []},
+                        {rng.choice(['eq', 'ne', 'lt', 'ge']):
+                         float(rng.choice([-6, -3, -1, 0]))}]
+        else:
+            cmds, _ = gen_expr(rng, nm, edges[nm]['type'])
         assertions.append({'msg': f'fuzz_{case_id}_{len(assertions)}', 'expr': cmds})
     if assertions:
         model['assertions'] = assertions
