@@ -527,10 +527,20 @@ object ExprCompiler {
     val a = numOf(a0)
     val b = numOf(b0)
     def floorMod(x: Column, y: Column): Column = ((x % y) + y) % y
+    // int64 % BOOL-False is numpy integer mod-by-zero: 0, int64 result
+    // (probed live) — pandas only intercepts NUMERIC zero divisors to NaN
+    // (int64 % 0 and any float % 0/False are NaN). Same for a runtime
+    // bool-series divisor over an int column.
+    val intModBoolZero = a0.tag == Tag.NumInt && b0.tag == Tag.Bool
+    def intZero: Column = when(a.isNull, lit(null).cast("bigint")).otherwise(lit(0L))
     b0.litVal match {
+      case Some(false) if intModBoolZero => intZero
       case Some(n) if isNumLit(n) && !isZeroNum(n) => floorMod(a, b)
       case Some(n) if isNumLit(n) =>
         when(a.isNull, nullDouble).otherwise(lit(Double.NaN))
+      case _ if intModBoolZero =>
+        when(a.isNull || b.isNull, lit(null).cast("bigint"))
+          .otherwise(when(b === 0, lit(0L)).otherwise(floorMod(a, b)))
       case _ =>
         when(b === 0, when(a.isNull, nullDouble).otherwise(lit(Double.NaN)))
           .otherwise(floorMod(a, b))

@@ -518,6 +518,12 @@ def probe_cases():
          [{'col': 'a'}, {'not': []}, {'eq': -6.0}], [
             {'name': 'i', 'kind': 'number', 'isList': False, 'values': [1.0, 2.0]},
             {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5, 2]}]),
+        # int64 % False = numpy integer mod-by-zero: 0, int64 ("0" via
+        # cast-str) — pandas NaN-intercepts only NUMERIC zero divisors
+        ('int_mod_false', num,
+         [{'col': 'a'}, {'val': False}, {'mod': []}, {'cast': 'str'}, {'eq': '0'}], icol),
+        ('int_mod_false_inline_le', num,
+         [{'col': 'a'}, {'mod': False}, {'le': -3.5}], icol3),
         # str * bool is bool-is-int repeat ('x' * True = 'x', * False = '')
         ('str_mul_true_inline', stre,
          [{'col': 's'}, {'mul': True}, {'eq': 'x'}], scol),
