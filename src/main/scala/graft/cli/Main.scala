@@ -354,7 +354,10 @@ object Main {
       val verdicts = (base.keySet intersect cur.keySet).toSeq.sorted
         .map(k => Drift.verdict(k, base(k), cur(k)))
       verdicts.foreach(v => println(
-        f"drift ${v.name}: psi=${v.psi}%.4f ks=${v.ks}%.4f drifted=${v.drifted}"))
+        // formatLocal(Locale.ROOT) like the per-partition path above: the
+        // f"" interpolator is default-locale-sensitive (psi=0,1234)
+        "drift %s: psi=%.4f ks=%.4f drifted=%s".formatLocal(
+          java.util.Locale.ROOT, v.name, v.psi, v.ks, v.drifted)))
       verdicts.exists(_.drifted)
     }
     totalViolations > 0 || drifted
@@ -412,5 +415,9 @@ object Main {
       |                 [--max-group-values K] [--skip-row-key-check]
       |  graft.cli.Main transcripts --table dir [--conv-keys path] [--checkpoint m.json]
       |                 [--violations out] [--baseline h.json] [--write-baseline h.json]
-      |                 [--content-digest] [--max-concurrent N] [--partition-timeout-ms MS]""".stripMargin)
+      |                 [--content-digest] [--max-concurrent N] [--partition-timeout-ms MS]
+      |
+      |  --partition-timeout-ms default is 21600000 (6 h): any partition task
+      |  exceeding it FAILS the cohort loudly (committed partitions stay
+      |  resumable). Pass 0 for the pre-r4 unbounded-wait behavior.""".stripMargin)
 }

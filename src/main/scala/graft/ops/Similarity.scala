@@ -221,17 +221,34 @@ object Similarity {
     sb.append("]}")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // atomic commit: write a temp sibling, then rename over the final
-    // path. A crash mid-write leaves either the old artifact or a stale
-    // .tmp next to it — never truncated JSON at the final path, which
-    // loadCentroids would (by design) treat as corrupt and RAISE on
-    // every subsequent run (same pattern as the checkpoint manifest)
+    // temp-sibling + rename commit. NOT fully atomic: between the
+    // pre-delete and the rename (and on object stores where rename is
+    // copy+delete) a crash can leave NO artifact at the final path — that
+    // is safe-by-recovery, not lossless: absent triggers a retrain on the
+    // next run. What the pattern DOES guarantee is that the final path is
+    // never truncated/partial JSON, which loadCentroids would (by design)
+    // treat as corrupt and RAISE on every subsequent run (same pattern as
+    // the checkpoint manifest). On filesystems with overwriting rename
+    // (HDFS/local) we skip the pre-delete so the final path is old-or-new
+    // throughout.
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"failed to commit centroid artifact to $path")
+    val renamedOver =
+      try {
+        // FileContext exposes the public overwriting rename (FileSystem's
+        // 3-arg variant is protected); HDFS/local implement it as a single
+        // metadata op — no no-artifact window
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!renamedOver) {
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"failed to commit centroid artifact to $path")
+    }
   }
 
   /** Load a centroid artifact; None when the path does not exist. A

@@ -513,14 +513,19 @@ object KyeParser {
       }
       def visit(e: Expr): Expr = visit2(e)._1
 
-      /** visit + per-expression ref collection (reference collect_refs). */
+      /** visit + ref collection (reference collect_refs, desugar.py:88-94).
+        * PARITY: the reference returns the ACCUMULATED union
+        * `previous | collected`, and visit_type aliases only when THAT is
+        * empty — so a ref-free type statement appearing after any
+        * ref-introducing statement (e.g. a model with edges) is NOT
+        * inlined; it survives to the TypeBuilder, which rejects it (crash
+        * class: `assert isinstance(value, typ.Type)` on literal bodies). */
       def collect(e: Expr): (Expr, Boolean) = {
         val saved = refs
         refs = scala.collection.mutable.Set.empty[String]
         val out = visit(e)
-        val mine = refs
-        refs = saved ++ mine
-        (out, mine.nonEmpty)
+        refs = saved ++ refs
+        (out, refs.nonEmpty)
       }
 
       val out = List.newBuilder[Stmt]

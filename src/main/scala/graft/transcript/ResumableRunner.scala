@@ -92,7 +92,19 @@ class ResumableRunner(
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent)
+      // daemon threads: shutdownNow() only INTERRUPTS — a task wedged in
+      // interrupt-insensitive native I/O would otherwise keep a non-daemon
+      // pool thread alive and block JVM exit after the cohort already
+      // failed loudly
+      val tf = new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"resumable-partition-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent, tf)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
       val inFlight = new java.util.concurrent.ConcurrentHashMap[String, Long]()

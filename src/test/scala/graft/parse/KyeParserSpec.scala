@@ -415,5 +415,25 @@ class KyeParserSpec extends AnyFunSuite {
       "Mx(id) {\n  id: Number\n  x: String\n  x: /ab\n  y: Number\n}\n"))
     assert(e.errors.exists(_.msg.contains("Unterminated regex")), e.rendered)
   }
+
+  test("alias detection uses ACCUMULATED refs (desugar.py:88-94) [all verified by execution]") {
+    // collect_refs returns `previous | collected`: once ANY statement has
+    // introduced a ref, later ref-free type statements are NOT inlined —
+    // they survive to the TypeBuilder, which crashes on literal bodies
+    // (reference: bare AssertionError). Probed live 2026-08-17.
+    val after = KyeParser.compileEither(
+      "Mx(id) {\n  id: Number\n  assert id > 0\n}\nFoo: \"abc\"\nNx(k) {\n  k: Foo\n}")
+    assert(after.isLeft, s"reference rejects (accumulated refs nonempty): $after")
+    // ...but BEFORE any refs it is a macro, inlined into an edge assertion
+    val before = KyeParser.compile(
+      "Foo: \"abc\"\nMx(id) {\n  id: Number\n  assert id > 0\n}\nNx(k) {\n  k: Foo\n}")
+    assert(before.models("Nx").edges("k").tpe == "String")
+    assert(before.models("Nx").assertions.nonEmpty)
+    // a model with ONLY native-typed edges introduces NO refs (the
+    // reference's visit_type_identifier skips natives) — alias still works
+    val plain = KyeParser.compile(
+      "Mx(id) {\n  id: Number\n}\nFoo: \"abc\"\nNx(k) {\n  k: Foo\n}")
+    assert(plain.models("Nx").edges("k").tpe == "String")
+  }
 }
 
