@@ -155,6 +155,12 @@ object SparkEntry {
       }
       def p(cmds: Cmd*): org.apache.spark.sql.Column =
         ExprCompiler.compile(cmds, colTag = tags)
+      // event_id declared KNOWN-integral for the r6 bitwise-dispatch rows
+      def pInt(cmds: Cmd*): org.apache.spark.sql.Column =
+        ExprCompiler.compile(cmds, colTag = {
+          case "event_id" => ExprCompiler.Tag.NumInt
+          case n          => tags(n)
+        })
       val vgt = List(Cmd.one(COL, "value"), Cmd.one(GT, 50.0))
       events(s, dir).select(
         col("event_id"),
@@ -178,7 +184,16 @@ object SparkEntry {
         // asserted via isNull so the compared column is non-null (an
         // all-null boolean column renders differently through the two
         // compare paths' pandas materializations)
-        p(Cmd.one(COL, "event_type"), Cmd(LT, List(5.0))).isNull.as("etype_lt_vacuous"))
+        p(Cmd.one(COL, "event_type"), Cmd(LT, List(5.0))).isNull.as("etype_lt_vacuous"),
+        // r6: int64 & int64 is numpy BITWISE with an int64 result
+        // (operands necessarily stacked — the artifact signature rejects
+        // non-bool inline args on and/or)
+        pInt(Cmd.one(COL, "event_id"), Cmd(VAL, List(5L)), Cmd(AND)).as("andint5"),
+        // r6: int64-ness survives ADD, so the derived | dispatches bitwise
+        pInt(Cmd.one(COL, "event_id"), Cmd(VAL, List(1L)), Cmd(ADD),
+             Cmd(VAL, List(2L)), Cmd(OR), Cmd.one(EQ, 3.0)).as("orint_eq3"),
+        // r6: pandas __neg__ on a bool series is LOGICAL NOT
+        p(vgt :+ Cmd(NEG): _*).as("negbool"))
     }),
 
     // == Kye engine: COUNT opcode (aggregate context, artifact-reachable
@@ -555,7 +570,10 @@ object SparkEntry {
         | CAST(event_id + 1 AS VARCHAR) AS addtrue_str,
         | repeat(event_type, length(event_type)) AS etype_rep,
         | CASE WHEN event_type IS NULL THEN NULL ELSE FALSE END AS etype_eq_num,
-        | TRUE AS etype_lt_vacuous
+        | TRUE AS etype_lt_vacuous,
+        | event_id & 5 AS andint5,
+        | ((event_id + 1) | 2) = 3 AS orint_eq3,
+        | CASE WHEN value IS NULL THEN NULL ELSE NOT (value > 50) END AS negbool
         |FROM events""".stripMargin,
     "q_expr_count" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types,

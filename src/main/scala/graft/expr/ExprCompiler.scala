@@ -57,11 +57,17 @@ import graft.schema.{Cmd, Op}
   *     no-null numpy semantics (logical) are compiled for both.
   *   - ordered comparisons / LEN / MATCHES / NOT / NEG / AND / OR on a
   *     type they crash on in Python evaluate to null (vacuous) here.
-  *     NOT/AND/OR over a NUMERIC column are vacuous too, where the
-  *     reference's `~`/`&`/`|` would be numpy BITWISE ops on an int64
-  *     series (and a TypeError on float64) — the static Num tag cannot
-  *     split int from float, and bitwise logic in a validation predicate
-  *     is overwhelmingly a schema bug, not intent.
+  *     `~`/`&`/`|` over a KNOWN-int64 operand set compile to numpy
+  *     bitwise (Tag.NumInt, incl. through int-preserving ADD/SUB/MUL/MOD
+  *     derivations — r6); over float64 the reference TypeErrors (vacuous
+  *     here), and over a Tag.Num (float-or-unknown-kind) operand the
+  *     static tag cannot prove int-ness, so it is vacuous too — the
+  *     residual deviation class is exactly "int64 logical op behind a
+  *     dynamically-int-valued Num slot", value-dependent by nature.
+  *   - a non-bool FINAL assertion verdict: all-truthy passes silently
+  *     (exact parity via [[asVerdict]]); any falsy row crashes the
+  *     reference (label-indexing in result[~result]) where this engine
+  *     fails those rows cleanly.
   *   - int-typed MOD/DIV with a RUNTIME (column) divisor forces a double
   *     result (pandas' result dtype is value-dependent: any zero divisor
   *     promotes int64 to float64 — not statically reproducible).
@@ -139,7 +145,15 @@ object ExprCompiler {
     *   compiles above. */
   def compile(expr: Seq[Cmd], colRef: String => Column = col(_),
               nanAbsent: Boolean = false,
-              colTag: String => Tag = _ => Tag.Unknown): Column = {
+              colTag: String => Tag = _ => Tag.Unknown): Column =
+    compileWithTag(expr, colRef, nanAbsent, colTag)._1
+
+  /** [[compile]] plus the program's static output [[Tag]] — callers that
+    * consume the result as an assertion VERDICT need the tag to apply the
+    * reference loader's non-bool truthiness (see [[asVerdict]]). */
+  def compileWithTag(expr: Seq[Cmd], colRef: String => Column = col(_),
+              nanAbsent: Boolean = false,
+              colTag: String => Tag = _ => Tag.Unknown): (Column, Tag) = {
     var stack: List[TV] = Nil
 
     def pop(): TV = stack match {
@@ -150,7 +164,7 @@ object ExprCompiler {
     for (cmd <- expr) {
       val stackArgs = List.fill(cmd.numStackArgs)(pop()).reverse
       val out = eval(cmd, stackArgs, colRef)
-      val tag = outTag(cmd, stackArgs.map(_.tag), colTag)
+      val tag = outTag(cmd, stackArgs, colTag)
       // NaN-as-missing applies to numeric outputs only (isnan rejects
       // boolean/string at analysis; a bool-tagged ADD is a logical op)
       val guarded =
@@ -163,16 +177,32 @@ object ExprCompiler {
       stack = TV(guarded, tag, litVal) :: stack
     }
     stack match {
-      case TV(res, _, _) :: Nil => res
+      case TV(res, t, _) :: Nil => (res, t)
       case s => throw new IllegalStateException(s"Program left ${s.size} values on stack")
     }
   }
 
-  /** Output tag per op, given the popped operands' tags (inline literal args
-    * are appended, mirroring the VM's arg order). */
-  private def outTag(cmd: Cmd, stackTags: List[Tag], colTag: String => Tag): Tag = {
+  /** Convert a compiled program to the boolean the reference loader's
+    * `result.all()` truthiness implies when the final value is NOT a bool
+    * series (loader.py:123): nonzero numbers and non-empty strings are
+    * truthy. When every row is truthy the reference passes silently —
+    * matched exactly here. When ANY row is falsy the reference walks into
+    * `result[~result]`, which on a non-bool series is label indexing /
+    * a TypeError — a CRASH class, so the row-wise falsy-fails completion
+    * below is a valid clean completion (documented deviation). */
+  def asVerdict(c: Column, t: Tag): Column = t match {
+    case Tag.Num | Tag.NumInt => c =!= lit(0)
+    case Tag.Str              => c =!= lit("")
+    case _                    => c
+  }
+
+  /** Output tag per op, given the popped operand slots (inline literal args
+    * are appended, mirroring the VM's arg order; MOD reads the divisor
+    * slot's literal value to split the int64-preserving literal path from
+    * the forced-double runtime path). */
+  private def outTag(cmd: Cmd, stackArgs: List[TV], colTag: String => Tag): Tag = {
     import Op._
-    val argTags = stackTags ++ cmd.args.map(Tag.ofLiteral)
+    val argTags = stackArgs.map(_.tag) ++ cmd.args.map(Tag.ofLiteral)
     cmd.op match {
       case COL => cmd.args match {
         case List(name: String) => colTag(name)
@@ -182,15 +212,53 @@ object ExprCompiler {
       case CAST => if (cmd.args.lastOption.contains("str")) Tag.Str else Tag.Num
       // ~int64 is bitwise invert with an int64 result (probed live)
       case NOT => if (argTags == List(Tag.NumInt)) Tag.NumInt else Tag.Bool
-      case NA | DEF | OR | AND | LT | GT | LE | GE | EQ | NE | MATCHES => Tag.Bool
+      // int64 `&`/`|` int64 is numpy BITWISE with an int64 result (r6
+      // probes: mid-expression it feeds comparisons; as a final verdict
+      // the loader's truthiness applies — see asVerdict)
+      case OR | AND =>
+        if (argTags == List(Tag.NumInt, Tag.NumInt)) Tag.NumInt else Tag.Bool
+      case NA | DEF | LT | GT | LE | GE | EQ | NE | MATCHES => Tag.Bool
       // `+`/`*` are type-directed: str wins (concat / repeat), two bools
-      // stay bool (logical), anything else is numeric
+      // stay bool (logical), anything else is numeric — and numpy keeps
+      // int64 through int/bool-only operand sets (5 + True casts to "6",
+      // (a+1)&1 dispatches bitwise — r5 probe h1, r6 derived probes)
       case ADD | CONCAT | MUL =>
         if (argTags.contains(Tag.Str)) Tag.Str
         else if (argTags.length == 2 && argTags.forall(_ == Tag.Bool)) Tag.Bool
         else if (cmd.op == CONCAT && argTags.forall(_ == Tag.Unknown)) Tag.Str
+        else if (argTags.length == 2 &&
+                 argTags.forall(t => t == Tag.NumInt || t == Tag.Bool)) Tag.NumInt
         else Tag.Num
-      case LEN | NEG | SUB | DIV | MOD | COUNT => Tag.Num
+      // int64 - int64/bool stays int64 (probed: (5 - True) casts to "4");
+      // bool - bool is a reference TypeError (vacuous) so its tag is moot
+      case SUB =>
+        if (argTags.length == 2 && argTags.contains(Tag.NumInt) &&
+            argTags.forall(t => t == Tag.NumInt || t == Tag.Bool)) Tag.NumInt
+        else Tag.Num
+      // numpy -int64 is int64; pandas __neg__ on a BOOL series is LOGICAL
+      // NOT with a bool result (-True == False, probed live r6)
+      case NEG =>
+        if (argTags == List(Tag.NumInt)) Tag.NumInt
+        else if (argTags == List(Tag.Bool)) Tag.Bool
+        else Tag.Num
+      // MOD result dtype follows compileMod's branches: int64 % literal
+      // int/bool divisor (NON-zero numeric — zero is the NaN fold) and
+      // int64 % bool divisor (literal or runtime; numpy integer
+      // mod-by-zero is 0) stay int64; a numeric-literal ZERO divisor or a
+      // runtime numeric divisor force double (NaN path / documented
+      // value-dependent deviation)
+      case MOD =>
+        val divisorLit: Option[Any] =
+          cmd.args.lastOption.orElse(stackArgs.lastOption.flatMap(_.litVal))
+        argTags match {
+          case List(Tag.NumInt, Tag.Bool) => Tag.NumInt
+          case List(Tag.NumInt, Tag.NumInt) => divisorLit match {
+            case Some(n) if isNumLit(n) && !isZeroNum(n) => Tag.NumInt
+            case _ => Tag.Num
+          }
+          case _ => Tag.Num
+        }
+      case LEN | DIV | COUNT => Tag.Num
     }
   }
 
@@ -308,11 +376,13 @@ object ExprCompiler {
         case TV(c, Tag.NumInt, _)             => negate(c + lit(1L))
         case _                                => nullBool
       }
-      // numpy: -bool raises (crash-class: any completion is parity); -str
-      // crashes too — complete as numeric negate / vacuous respectively
+      // pandas __neg__: numeric negate on numbers, LOGICAL NOT on a bool
+      // series (-True == False, bool dtype — probed live r6); -str
+      // crashes — vacuous
       case (NEG, _, _) => unary match {
-        case TV(_, Tag.Str, _) => nullDouble
-        case t                 => negate(numOf(t))
+        case TV(_, Tag.Str, _)  => nullDouble
+        case TV(c, Tag.Bool, _) => !c
+        case t                  => negate(numOf(t))
       }
       // .str.len on a non-string series crashes the reference (r5 probe j1)
       case (LEN, _, _) => unary match {
@@ -364,8 +434,10 @@ object ExprCompiler {
       }
       case (SUB, _, _) => bin match {
         // str - anything crashes the reference; bool - bool crashes too
-        // (numpy refuses boolean subtract) — numeric completion is parity
+        // ("numpy boolean subtract is not supported", probed live) —
+        // vacuous completion like the other crash classes
         case (a, b) if a.tag == Tag.Str || b.tag == Tag.Str => nullDouble
+        case (a, b) if a.tag == Tag.Bool && b.tag == Tag.Bool => nullDouble
         case (a, b) => numOf(a) - numOf(b)
       }
       case (DIV, _, _) => compileDiv(bin)
@@ -431,12 +503,15 @@ object ExprCompiler {
     //  - int64 meets bool: numpy bitwise against 0/1 with a BOOLEAN
     //    result (Series([5,2,0]) & True -> [True,False,False]) —
     //    reproduced exactly below;
+    //  - int64 meets int64: raw numpy bitwise with an INT64 result (r6
+    //    probes: 5&4=4 flows into downstream comparisons; as a FINAL
+    //    verdict the loader truthiness applies — see asVerdict). Both
+    //    operands are necessarily STACKED (the artifact signature rejects
+    //    non-bool inline args on and/or, op.py:24 + schema.Op). A null
+    //    int row is vacuous — the reference's int64 column would have
+    //    been float64 dtype there and `&` a TypeError (crash class);
     //  - float or str series: TypeError (crash-class -> vacuous; Spark's
-    //    `||` would refuse the type at ANALYSIS and abort the whole job);
-    //  - int64 meets int64: raw bitwise with an INT64 result — vacuous
-    //    here (documented deviation: an int-valued logical op in a
-    //    predicate is a schema bug; its int result type also contradicts
-    //    the Bool slot downstream opcodes expect).
+    //    `||` would refuse the type at ANALYSIS and abort the whole job).
     (a.tag, b.tag) match {
       case (Tag.NumInt, Tag.Bool) | (Tag.Bool, Tag.NumInt) =>
         val (n, bb) = if (a.tag == Tag.NumInt) (a, b) else (b, a)
@@ -445,6 +520,12 @@ object ExprCompiler {
         val bits =
           if (cmd.op == Op.AND) nInt.bitwiseAND(bInt) else nInt.bitwiseOR(bInt)
         return when(a.col.isNull || b.col.isNull, nullBool).otherwise(bits =!= 0)
+      case (Tag.NumInt, Tag.NumInt) =>
+        val x = a.col.cast("bigint")
+        val y = b.col.cast("bigint")
+        val bits = if (cmd.op == Op.AND) x.bitwiseAND(y) else x.bitwiseOR(y)
+        return when(a.col.isNull || b.col.isNull, lit(null).cast("bigint"))
+          .otherwise(bits)
       case (ta, tb)
         if Seq(ta, tb).exists(t => t == Tag.Num || t == Tag.NumInt || t == Tag.Str) =>
         return nullBool

@@ -186,9 +186,13 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
               case DoubleType | FloatType => nanToNull(e)
               case _ => e
             }
-            def perElem(e: Column): Column =
-              ExprCompiler.compile(a.expr, elemRef(e), nanAbsent = true,
-                colTag = _ => tagOf(elemType))
+            def perElem(e: Column): Column = {
+              val (c, t) = ExprCompiler.compileWithTag(a.expr, elemRef(e),
+                nanAbsent = true, colTag = _ => tagOf(elemType))
+              // non-bool element verdicts follow the reference loader's
+              // truthiness (nonzero/non-empty) — see ExprCompiler.asVerdict
+              ExprCompiler.asVerdict(c, t)
+            }
             val arr = col(edge)
             val fails = filter(arr, e => !coalesce(perElem(e), lit(true)))
             val anyEval = exists(arr, e => perElem(e).isNotNull)
@@ -202,8 +206,15 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
                   "other edges — multi-edge assertions over many-valued columns are " +
                   "not supported (the reference runs single-edge assertions only)")
             }
-            Compiled(ExprCompiler.compile(a.expr, nanRef, nanAbsent = true,
-              colTag = schemaTag))
+            val (c, t) = ExprCompiler.compileWithTag(a.expr, nanRef,
+              nanAbsent = true, colTag = schemaTag)
+            // a non-bool FINAL verdict (e.g. int64 `a & 4`, now compiled
+            // bitwise) follows the reference loader's truthiness: all rows
+            // nonzero -> silent pass (exact parity); any zero -> the
+            // reference crashes in result[~result] (label indexing on an
+            // int series) and the row-wise completion here is the
+            // documented crash-class deviation
+            Compiled(ExprCompiler.asVerdict(c, t))
         }
       val compiled = applicable.map(a => a -> compileAssertion(a))
       val rawPreds = compiled.map { case (a, c) => a -> c.pred }

@@ -62,13 +62,20 @@ class RuntimeFuzzSpec extends SparkSuite {
 
   replayFile("regressions.json")
   replayFile("corpus_seed5003.json")
-  // the r5 hand-probe suite: one case per empirically-verified semantic
-  // (inline-vs-stacked logical args, bool-is-int dispatch, IEEE div/mod
-  // zero paths, int64 literal typing, cross-type comparisons), goldens
-  // regenerable with `python3 tools/fuzz_runtime_ref.py probes <out>`
-  replayFile("probes_r5.json")
+  // the hand-probe suite (r5 + r6): one case per empirically-verified
+  // semantic (inline-vs-stacked logical args, bool-is-int dispatch, IEEE
+  // div/mod zero paths, int64 literal typing, cross-type comparisons,
+  // r6 int64-meets-int64 bitwise &/| incl. derived-int operands and raw
+  // non-bool verdicts), goldens regenerable with
+  // `python3 tools/fuzz_runtime_ref.py probes <out>`
+  replayFile("probes_r6.json")
   // pinned-seed corpus from the EXTENDED generator (inline logical args,
   // bool arithmetic, cast-str round-trips, cross-type comparisons,
   // integer-typed columns): `gen <out> --n 60 --seed 6003`
   replayFile("corpus_seed6003.json")
+  // pinned-seed corpus from the r6 UN-MASKED generator (int64-meets-int64
+  // stacked &/| incl. derived-int operands and raw int verdicts):
+  // `gen <out> --n 60 --seed 7003`; campaign seeds 7001/7002 (600 cases)
+  // ran at full parity before pinning
+  replayFile("corpus_seed7003.json")
 }

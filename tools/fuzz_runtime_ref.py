@@ -281,13 +281,36 @@ def gen_case(rng, case_id):
         if kinds[nm] == 'integer' and not edges[nm].get('many') and rng.random() < 0.3:
             # int64-specific dispatch the typed gen_expr can't produce:
             # &/| against a bool (numpy bitwise against 0/1, bool result),
-            # ~ (bitwise invert), str-blind here since the edge is Number
+            # &/| against ANOTHER int64 (numpy bitwise, INT64 result —
+            # r6: no longer masked), ~ (bitwise invert), int64-preserving
+            # arithmetic derivations; str-blind here since the edge is
+            # Number. Inline int args on and/or are ILLEGAL (op signature),
+            # so int operands are always stacked.
             roll = rng.random()
-            if roll < 0.4:
+            if roll < 0.25:
                 cmds = [{'col': nm}, {rng.choice(['and', 'or']): rand_bool(rng)}]
-            elif roll < 0.6:
+            elif roll < 0.4:
                 cmds = [{'col': nm}, {'val': rand_bool(rng)},
                         {rng.choice(['and', 'or']): []}]
+            elif roll < 0.75:
+                # int64 & int64: col op (col | int-literal | derived-int),
+                # usually fed into a comparison (mid-expression bitwise
+                # value), sometimes left RAW as the verdict (reference:
+                # all-nonzero = silent pass, any-zero = KeyError crash —
+                # recorded either way)
+                lhs = [{'col': nm}]
+                if rng.random() < 0.4:
+                    # int64-preserving arithmetic derivation on the left
+                    lhs += [{'val': rng.choice([1, 2, 3, -1])},
+                            {rng.choice(['add', 'sub', 'mul']): []}]
+                if rng.random() < 0.5:
+                    rhs = [{'val': rng.choice([1, 2, 4, 6, 7, -3, 0])}]
+                else:
+                    rhs = [{'col': nm}]
+                cmds = lhs + rhs + [{rng.choice(['and', 'or']): []}]
+                if rng.random() < 0.7:
+                    cmds += [{rng.choice(['eq', 'ne', 'lt', 'ge']):
+                              float(rng.choice([0, 1, 4, 6, -1]))}]
             else:
                 cmds = [{'col': nm}, {'not': []},
                         {rng.choice(['eq', 'ne', 'lt', 'ge']):
@@ -529,6 +552,69 @@ def probe_cases():
          [{'col': 's'}, {'mul': True}, {'eq': 'x'}], scol),
         ('str_mul_false_stacked', stre,
          [{'col': 's'}, {'val': False}, {'mul': []}, {'eq': ''}], scol),
+        # --- r6: int64 meets int64 on &/| (numpy bitwise, INT64 result) ---
+        # mid-expression: the bitwise value feeds a comparison
+        ('int_and_int_eq', num,
+         [{'col': 'a'}, {'val': 4}, {'and': []}, {'val': 0.0}, {'eq': []}],
+         [{'name': 'i', 'kind': 'number', 'isList': False,
+           'values': [1.0, 2.0, 3.0, 4.0]},
+          {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5, 2, 0, 7]}]),
+        ('int_or_int_ne', num,
+         [{'col': 'a'}, {'val': 2}, {'or': []}, {'ne': 3.0}],
+         [{'name': 'i', 'kind': 'number', 'isList': False,
+           'values': [1.0, 2.0, 3.0, 4.0]},
+          {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5, 2, 1, 4]}]),
+        # self & self (two stacked col loads)
+        ('int_and_self_ge', num,
+         [{'col': 'a'}, {'col': 'a'}, {'and': []}, {'ge': 3.0}], icol3),
+        # int64-preserving derivation: (a+1) & 1 compared
+        ('derived_add_and_eq', num,
+         [{'col': 'a'}, {'val': 1}, {'add': []}, {'val': 1}, {'and': []},
+          {'eq': 0.0}], icol3),
+        # (a*2) | 4 compared
+        ('derived_mul_or_eq', num,
+         [{'col': 'a'}, {'val': 2}, {'mul': []}, {'val': 4}, {'or': []},
+          {'eq': 4.0}], icol3),
+        # (a-1) & 1 compared (int64 through SUB)
+        ('derived_sub_and_ne', num,
+         [{'col': 'a'}, {'val': 1}, {'sub': []}, {'val': 1}, {'and': []},
+          {'ne': 1.0}], icol3),
+        # (-a) | 1 compared (int64 through NEG)
+        ('derived_neg_or_eq', num,
+         [{'col': 'a'}, {'neg': []}, {'val': 1}, {'or': []}, {'eq': 1.0}], icol3),
+        # (a % 7) & 1: int64 through the literal-divisor MOD path
+        ('derived_mod_and_eq', num,
+         [{'col': 'a'}, {'val': 7}, {'mod': []}, {'val': 1}, {'and': []},
+          {'eq': 1.0}], icol3),
+        # RAW int64 verdict, all rows nonzero: reference passes silently
+        ('int_or_verdict_all_nonzero', num,
+         [{'col': 'a'}, {'val': 2}, {'or': []}],
+         [{'name': 'i', 'kind': 'number', 'isList': False,
+           'values': [1.0, 2.0, 3.0]},
+          {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5, 0, 4]}]),
+        # RAW int64 verdict with a zero row: reference KeyError crash
+        ('int_and_verdict_zero_crash', num,
+         [{'col': 'a'}, {'val': 4}, {'and': []}],
+         [{'name': 'i', 'kind': 'number', 'isList': False,
+           'values': [1.0, 2.0, 3.0]},
+          {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5, 2, 4]}]),
+        # int64 - bool stays int64 ("4" via cast-str)
+        ('int_sub_bool_cast_str', num,
+         [{'col': 'a'}, {'sub': True}, {'cast': 'str'}, {'eq': '4'}],
+         [{'name': 'i', 'kind': 'number', 'isList': False, 'values': [1.0, 2.0]},
+          {'name': 'a', 'kind': 'integer', 'isList': False, 'values': [5, 4]}]),
+        # pandas __neg__ on a bool series is LOGICAL NOT (bool dtype):
+        # -True == False == 0, and the bool result compares as 1/0
+        ('neg_bool_eq', boole,
+         [{'col': 'f'}, {'neg': []}, {'eq': 0.0}], fcol),
+        ('neg_bool_eq_one', boole,
+         [{'col': 'f'}, {'neg': []}, {'eq': 1.0}], fcol),
+        # bool - bool: numpy boolean-subtract TypeError (crash class)
+        ('bool_sub_bool_crash', boole,
+         [{'col': 'f'}, {'val': True}, {'sub': []}, {'eq': 0.0}], fcol),
+        # float & int literal: TypeError (crash class — stays vacuous here)
+        ('float_and_int_crash', num,
+         [{'col': 'a'}, {'val': 4}, {'and': []}], numcol([5.0, 2.0, 0.0])),
     ]
 
 
