@@ -83,6 +83,22 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + 10000000L))
   }
 
+  /** Corpus + the deterministic multilingual slice
+    * ([[graft.gen.MultilingualSlice]]) — the non-ASCII leg of the text
+    * oracles. NOT used by the minhash/simhash queries, whose oracle slices
+    * rely on the corpus invariant "zero token-free docs" (the slice
+    * deliberately contains an emoji-only doc). */
+  private def documentsWithMl(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).unionByName(graft.gen.MultilingualSlice.df(spark))
+
+  /** [[docsWithDups]] over the multilingual-extended corpus (same %17
+    * dup-injection rule, mirrored in the oracle SQL). */
+  def docsWithDupsMl(spark: SparkSession, dir: String): DataFrame = {
+    val d = documentsWithMl(spark, dir)
+    d.union(d.filter(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L))
+  }
+
   // ---------- kye-engine fixtures ---------------------------------------------
 
   private val eventArtifact: String =
@@ -315,7 +331,7 @@ object SparkEntry {
 
     // == dedup: exact (hash-groupBy) over dup-injected documents ==
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exactDuplicates(docsWithDups(s, dir), "doc_id", "text")),
+      Dedup.exactDuplicates(docsWithDupsMl(s, dir), "doc_id", "text")),
 
     // == dedup: exact unigram Jaccard via pruned inverted index ==
     "q_dedup_jaccard" -> ((s, dir) =>
@@ -480,7 +496,7 @@ object SparkEntry {
     // select keeps the struct-producing expression evaluated once —
     // CollapseProject does not inline non-cheap exprs used 3x) ==
     "q_text_stats" -> ((s, dir) =>
-      documents(s, dir)
+      documentsWithMl(s, dir)
         .select(col("doc_id"),
           graft.functions.TextStats.text_stats(col("text")).as("_ts"))
         .select(col("doc_id"),
@@ -492,20 +508,20 @@ object SparkEntry {
     // == text analysis: language id distribution (deterministic stopword
     // argmax, integer-exact threshold — full DuckDB oracle) ==
     "q_lang_counts" -> ((s, dir) =>
-      documents(s, dir)
+      documentsWithMl(s, dir)
         .groupBy(TextAnalysis.langId(col("text")).as("lang_detected"))
         .agg(count(lit(1)).as("n"))),
 
     // == text analysis: quality score deciles (deterministic C4/Gopher-
     // style arithmetic — full DuckDB oracle) ==
     "q_quality_buckets" -> ((s, dir) =>
-      documents(s, dir)
+      documentsWithMl(s, dir)
         .groupBy(floor(TextAnalysis.qualityScore(col("text")) * 10).as("decile"))
         .agg(count(lit(1)).as("n"))),
 
     // == text analysis: content fingerprint dedup groups ==
     "q_fingerprint_groups" -> ((s, dir) =>
-      docsWithDups(s, dir)
+      docsWithDupsMl(s, dir)
         .groupBy(TextAnalysis.contentFingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
         .filter(col("n") > 1)
@@ -523,7 +539,17 @@ object SparkEntry {
     * (lower-cased maximal letter/digit runs; the corpus is ASCII, so
     * `[a-z0-9]` ≡ `\p{L}\p{N}` here). */
   private val toksExpr =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+    // Character.isLetterOrDigit-run tokenization (= L* + Nd categories;
+    // identical to the old [^a-z0-9]+-over-lower(text) form on ASCII) —
+    // stopword membership lowercases PER TOKEN below, token lengths count
+    // original codepoints like the native lenSum
+    "list_filter(string_split_regex(text, '[^\\p{L}\\p{Nd}]+'), x -> len(x) > 0)"
+
+  /** documents + the multilingual slice, as oracle SQL (mirrors
+    * [[documentsWithMl]] byte-for-byte — the VALUES text is generated from
+    * the same Scala constants). */
+  private val mlDocsSql =
+    s"SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM ${graft.gen.MultilingualSlice.valuesSql}"
 
   def oracleSql: Map[String, String] = Map(
     "q_expr_opcodes" ->
@@ -666,9 +692,10 @@ object SparkEntry {
         |       count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
+      s"""WITH base AS ($mlDocsSql),
+        | d AS (SELECT doc_id, text FROM base
         |           UNION ALL
-        |           SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 17 = 0),
+        |           SELECT doc_id + 10000000, text FROM base WHERE doc_id % 17 = 0),
         | g AS (SELECT text, min(doc_id) AS keep_id, count(*) AS n FROM d
         |       GROUP BY text HAVING count(*) > 1)
         |SELECT g.keep_id, d.doc_id AS dup_id
@@ -697,15 +724,16 @@ object SparkEntry {
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
     "q_text_stats" ->
-      """SELECT doc_id,
-        | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens,
+      s"""WITH d AS ($mlDocsSql)
+        |SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens,
         | CAST(length(text) AS INTEGER) AS n_chars,
-        | CAST(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS INTEGER) AS n_punct,
-        | CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\s\p{L}\p{N}]'))
+        | CAST(len(regexp_extract_all(text, '[^\\s\\p{L}\\p{N}]')) AS INTEGER) AS n_punct,
+        | CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]'))
         |   + coalesce(list_sum(list_transform(
-        |       list_filter(string_split_regex(text, '[^A-Za-z]+'), x -> len(x) > 6),
+        |       list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 6),
         |       x -> (len(x) - 1) // 6)), 0) AS INTEGER) AS bpe_tokens
-        |FROM documents""".stripMargin,
+        |FROM d""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 3),
@@ -738,13 +766,14 @@ object SparkEntry {
         |       CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 13 = 0""".stripMargin,
     "q_lang_counts" ->
-      s"""WITH t AS (SELECT $toksExpr AS toks FROM documents),
+      s"""WITH d AS ($mlDocsSql),
+         | t AS (SELECT $toksExpr AS toks FROM d),
          | c AS (SELECT len(toks) AS n,
-         |   len(list_filter(toks, x -> list_contains(${swList("de")}, x))) AS c_de,
-         |   len(list_filter(toks, x -> list_contains(${swList("en")}, x))) AS c_en,
-         |   len(list_filter(toks, x -> list_contains(${swList("es")}, x))) AS c_es,
-         |   len(list_filter(toks, x -> list_contains(${swList("fr")}, x))) AS c_fr,
-         |   len(list_filter(toks, x -> list_contains(${swList("it")}, x))) AS c_it
+         |   len(list_filter(toks, x -> list_contains(${swList("de")}, lower(x)))) AS c_de,
+         |   len(list_filter(toks, x -> list_contains(${swList("en")}, lower(x)))) AS c_en,
+         |   len(list_filter(toks, x -> list_contains(${swList("es")}, lower(x)))) AS c_es,
+         |   len(list_filter(toks, x -> list_contains(${swList("fr")}, lower(x)))) AS c_fr,
+         |   len(list_filter(toks, x -> list_contains(${swList("it")}, lower(x)))) AS c_it
          |  FROM t),
          | b AS (SELECT n, greatest(c_de*8+0, c_en*8+1, c_es*8+2, c_fr*8+3, c_it*8+4) AS bv
          |       FROM c)
@@ -754,12 +783,13 @@ object SparkEntry {
          |       count(*) AS n
          |FROM b GROUP BY 1""".stripMargin,
     "q_quality_buckets" ->
-      s"""WITH p AS (SELECT length(text) AS len,
+      s"""WITH d AS ($mlDocsSql),
+         | p AS (SELECT length(text) AS len,
          |    len(regexp_extract_all(text, '[^\\s\\p{L}\\p{N}]')) AS n_punct,
          |    $toksExpr AS toks
-         |  FROM documents),
+         |  FROM d),
          | c AS (SELECT len, n_punct, len(toks) AS n,
-         |    len(list_filter(toks, x -> list_contains(${swList("en")}, x))) AS sw,
+         |    len(list_filter(toks, x -> list_contains(${swList("en")}, lower(x)))) AS sw,
          |    coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS lensum
          |  FROM p),
          | s AS (SELECT
@@ -779,11 +809,12 @@ object SparkEntry {
     // membership depends only on normalized-text equality — so the groups
     // (keep_id, n) are hash-independent and fully oracle-able
     "q_fingerprint_groups" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
+      s"""WITH base AS ($mlDocsSql),
+        | d AS (SELECT doc_id, text FROM base
         |           UNION ALL
-        |           SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 17 = 0)
+        |           SELECT doc_id + 10000000, text FROM base WHERE doc_id % 17 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS n
-        |FROM d GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+        |FROM d GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
         |HAVING count(*) > 1""".stripMargin,
     // injected-duplicate slices (see the query comments): the pair
     // (doc_id, doc_id + 10^7) exists for every doc_id % 17 = 0 with

@@ -44,7 +44,20 @@ object ScaleUp {
     replicate(df, factor) { (d, r) =>
       val text =
         if (r == 0) col("text")
-        else concat(col("text"), lit(s" replica$r marker"), col("doc_id").cast("string"))
+        else {
+          // ~1/4 of replica docs also gain a deterministic multilingual
+          // phrase (r6): the scaled sf1/sf10 corpus exercises the text
+          // kernels on non-ASCII content at bench scale
+          val mlArr = array(MultilingualSlice.docs.map(d => lit(d._3)): _*)
+          val mlHash = xxhash64(col("doc_id"), lit(r), lit("ml"))
+          val mlSuffix = when(pmod(mlHash, lit(4)) === 0,
+            concat(lit(" "),
+              element_at(mlArr,
+                (pmod(mlHash, lit(MultilingualSlice.docs.size)) + 1).cast("int"))))
+            .otherwise(lit(""))
+          concat(col("text"), lit(s" replica$r marker"), col("doc_id").cast("string"),
+            mlSuffix)
+        }
       d.select(
         (col("doc_id") + lit(r * DOC_STRIDE)).as("doc_id"),
         text.as("text"),

@@ -28,8 +28,11 @@ object TranscriptGen {
     * intent and survives plan-string changes across Spark versions.
     * v3: unique per-row negative turn indices (was a constant -1).
     * v4: conversation-relative ts-regression sentinel (was EPOCH0-3600,
-    * which sat above deep-negative neg-row timestamps). */
-  val GenVersion = 4
+    * which sat above deep-negative neg-row timestamps).
+    * v5: ~1/8 of turns carry a deterministic multilingual phrase
+    * (MultilingualSlice) — the scaling corpus is non-ASCII-bearing like
+    * real training data. */
+  val GenVersion = 5
 
   final case class GenConfig(
       numConvs: Long,
@@ -94,12 +97,21 @@ object TranscriptGen {
       .when(pmod(col("turn0"), lit(2)) === 1, lit("user"))
       .otherwise(lit("assistant"))
 
-    // deterministic text: repeated token, drifted config doubles lengths
+    // deterministic text: repeated token, drifted config doubles lengths;
+    // ~1/8 of turns append a multilingual phrase (CJK/RTL/emoji/diacritics
+    // — GenVersion 5) so every text kernel in the scaling path sees
+    // non-ASCII at corpus scale, not just in the oracle slice
     val rep = (pmod(xxhash64(col("conv_id"), col("turn0"), lit("txt")), lit(20)) + 1) *
       lit(if (cfg.drifted) 2 else 1)
+    val mlArr = array(MultilingualSlice.docs.map(d => lit(d._3)): _*)
+    val mlHash = xxhash64(col("conv_id"), col("turn0"), lit("ml"))
+    val mlSuffix = when(pmod(mlHash, lit(8)) === 0,
+      concat(lit(" "),
+        element_at(mlArr, (pmod(mlHash, lit(MultilingualSlice.docs.size)) + 1).cast("int"))))
+      .otherwise(lit(""))
     val baseText = concat(
       lit("t:"), col("conv_id"), lit(":"), col("turn0").cast("string"), lit(" "),
-      repeat(lit("lorem "), rep.cast("int")))
+      repeat(lit("lorem "), rep.cast("int")), mlSuffix)
 
     // ts derives from the FINAL turn index (the same when-chain as
     // turn_idx below), so a row's ts always matches its position in the

@@ -115,6 +115,43 @@ class NativeExprSpec extends SparkSuite {
     assert(edge(2).getStruct(0).toSeq == Seq(4, 34, 1, 12))
   }
 
+  test("text natives agree with the HOF formulations on the multilingual slice") {
+    // the non-ASCII leg of the corpus-agreement tests above: CJK, RTL,
+    // combining marks, emoji/non-BMP, fullwidth forms, NBSP/thin-space,
+    // Arabic-Indic digits (graft.gen.MultilingualSlice — the same rows the
+    // DuckDB oracle gate runs over). The HOF formulations use \p{L}\p{N}
+    // regexes and split("\\s+"), so agreement here pins the natives'
+    // codepoint iteration, isLetterOrDigit runs, and isWs set on content
+    // where charAt-vs-codePointAt and ASCII-vs-unicode classes actually
+    // differ. (The slice deliberately avoids the KNOWN class splits:
+    // \x0B, Nl/No number forms, context-sensitive case mappings.)
+    val docs = graft.gen.MultilingualSlice.df(spark)
+    val statsMismatch = docs.select(
+        TextStats.text_stats(col("text")).as("_ts"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws"),
+        length(col("text")).as("nc"),
+        coalesce(regexp_count(col("text"), lit("[^\\s\\p{L}\\p{N}]")), lit(0)).as("np"),
+        TextAnalysis.approxBpeTokenCountReference(col("text")).as("bpe"))
+      .filter(col("_ts.ws_tokens") =!= col("ws") || col("_ts.n_chars") =!= col("nc") ||
+        col("_ts.n_punct") =!= col("np") || col("_ts.bpe_tokens") =!= col("bpe"))
+      .count()
+    assert(statsMismatch === 0)
+    val langs = TextProfile.langs
+    val langMismatch = docs.select(
+        TextAnalysis.langId(col("text")).as("native"),
+        array(langs.map(l => struct(TextAnalysis.langScore(col("text"), l).as("s"),
+          lit(l).as("l"))): _*).as("sc"))
+      .withColumn("best", array_max(col("sc")))
+      .withColumn("hof", when(col("best.s") > 0.05, col("best.l")).otherwise(lit("und")))
+      .filter(col("native") =!= col("hof")).count()
+    assert(langMismatch === 0)
+    // codepoint spot values: emoji are single chars, surrogate halves are
+    // NOT double-counted, the emoji-only doc is token-free
+    val emojiOnly = docs.filter(col("doc_id") === (graft.gen.MultilingualSlice.IdBase + 28L))
+      .select(TextStats.text_stats(col("text")).as("s")).collect()(0).getStruct(0)
+    assert(emojiOnly.toSeq == Seq(2, 6, 5, 5), s"emoji-only stats: ${emojiOnly.toSeq}")
+  }
+
   test("NearestCentroids: NaN vectors assign deterministically, no crash") {
     val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
     val nan = Array(Double.NaN, Double.NaN)
