@@ -29,7 +29,7 @@ object Main {
     val mode = args.head
     // validate BEFORE paying SparkSession startup: an unknown mode or a
     // malformed option must not spin up a local cluster just to print usage
-    if (mode != "kye" && mode != "transcripts") {
+    if (mode != "kye" && mode != "transcripts" && mode != "ann") {
       System.err.println(s"unknown mode $mode"); usage(); sys.exit(2)
     }
     val opts = parseOpts(args.tail)
@@ -78,6 +78,7 @@ object Main {
     val hadViolations =
       try {
         if (mode == "kye") runKye(spark, opts, maxGroupValues)
+        else if (mode == "ann") runAnn(spark, opts)
         else runTranscripts(spark, opts, maxConcurrent, partitionTimeoutMs)
       } catch {
         // error-exit paths must still stop the session (not lean on JVM
@@ -86,6 +87,49 @@ object Main {
       }
     spark.stop()
     if (hadViolations) sys.exit(65)
+  }
+
+  /** IVF ANN with the digest-guarded persisted centroid artifact
+    * (ops.Similarity.trainOrLoadCentroids): the first run over a corpus
+    * trains k-means and commits the artifact; later runs over the
+    * UNCHANGED corpus load it (one small read, no training); a corpus
+    * content change flips the digest and retrains. Prints
+    * `ann centroids: trained|loaded` so operators (and the e2e spec) can
+    * see which path ran. */
+  private def runAnn(spark: SparkSession, opts: Map[String, String]): Boolean = {
+    val table = opts.getOrElse("table",
+      { System.err.println("ann requires --table <parquet>"); usage(); sys.exit(2) })
+    val artifact = opts.getOrElse("centroids",
+      { System.err.println("ann requires --centroids <path>"); usage(); sys.exit(2) })
+    val idCol = opts.getOrElse("id", "vec_id")
+    val vecCol = opts.getOrElse("vec", "embedding")
+    val nLists = opts.get("n-lists").map(_.toInt).getOrElse(32)
+    val k = opts.get("k").map(_.toInt).getOrElse(5)
+    val nProbe = opts.get("n-probe").map(_.toInt).getOrElse(4)
+    val items = spark.read.parquet(table)
+    val (cents, trained) = graft.ops.Similarity.trainOrLoadCentroids(
+      items, idCol, vecCol, nLists, artifact)
+    println(s"ann centroids: ${if (trained) "trained" else "loaded"} ($artifact, " +
+      s"nLists=${cents.length})")
+    val queries = opts.get("queries") match {
+      case Some(qp) => spark.read.parquet(qp)
+        .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      case None => // deterministic smoke default: the 3 lowest-id items
+        items.orderBy(col(idCol)).limit(3)
+          .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    }
+    val topk = graft.ops.Similarity.ivfTopK(
+      items, idCol, vecCol, queries, "q_id", "q_vec", k, cents, nProbe)
+      .select(col("query_id"), col("item_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+    opts.get("out") match {
+      case Some(outDir) =>
+        topk.write.mode("overwrite").parquet(outDir)
+        println(s"ann top-$k written to $outDir")
+      case None =>
+        topk.collect().foreach(r => println(s"ann ${r.mkString(" ")}"))
+    }
+    false
   }
 
   private def runKye(spark: SparkSession, opts: Map[String, String],
@@ -416,6 +460,13 @@ object Main {
       |  graft.cli.Main transcripts --table dir [--conv-keys path] [--checkpoint m.json]
       |                 [--violations out] [--baseline h.json] [--write-baseline h.json]
       |                 [--content-digest] [--max-concurrent N] [--partition-timeout-ms MS]
+      |  graft.cli.Main ann --table items.parquet --centroids artifact.json
+      |                 [--id vec_id] [--vec embedding] [--n-lists 32] [--k 5]
+      |                 [--n-probe 4] [--queries q.parquet] [--out dir]
+      |
+      |  ann trains IVF centroids on first run and persists them to
+      |  --centroids; an unchanged corpus loads the artifact (no retrain),
+      |  a content change retrains (digest guard).
       |
       |  --partition-timeout-ms default is 21600000 (6 h): any partition task
       |  exceeding it FAILS the cohort loudly (committed partitions stay

@@ -38,6 +38,42 @@ class CliE2eSpec extends SparkSuite {
     (code, out.synchronized(out.toString))
   }
 
+  test("ann mode: first run trains + persists, second run loads, corpus change retrains") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("cli-ann").toString
+    val table = s"$dir/emb.parquet"
+    val artifact = s"$dir/centroids.json"
+    def write(n: Int): Unit =
+      spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), i -> cast(pmod(xxhash64(id, i), 97) / 97.0 - 0.5 as float))")
+          .as("embedding"))
+        .write.mode("overwrite").parquet(table)
+    write(200)
+
+    val (c1, o1) = runCli("ann", "--table", table, "--centroids", artifact,
+      "--n-lists", "8", "--k", "3")
+    assert(c1 == 0, s"ann run 1 failed rc=$c1\n${o1.takeRight(2000)}")
+    assert(o1.contains("ann centroids: trained"), s"run 1 must train:\n${o1.takeRight(800)}")
+    val top1 = o1.linesIterator.filter(_.matches("ann \\d+ .*")).toSeq
+
+    val (c2, o2) = runCli("ann", "--table", table, "--centroids", artifact,
+      "--n-lists", "8", "--k", "3")
+    assert(c2 == 0, s"ann run 2 failed rc=$c2")
+    assert(o2.contains("ann centroids: loaded"),
+      s"unchanged corpus must LOAD the artifact:\n${o2.takeRight(800)}")
+    val top2 = o2.linesIterator.filter(_.matches("ann \\d+ .*")).toSeq
+    assert(top1.nonEmpty && top1 == top2,
+      s"loaded centroids must reproduce the identical top-k:\n$top1\nvs\n$top2")
+
+    // content change -> digest mismatch -> retrain
+    write(220)
+    val (c3, o3) = runCli("ann", "--table", table, "--centroids", artifact,
+      "--n-lists", "8", "--k", "3")
+    assert(c3 == 0, s"ann run 3 failed rc=$c3")
+    assert(o3.contains("ann centroids: trained"),
+      s"changed corpus must RETRAIN (digest guard):\n${o3.takeRight(800)}")
+  }
+
   test("transcripts checkpoint run exits 65 on violations; resume skips; concurrency accepted") {
     val root = Files.createTempDirectory("cli-e2e").toString
     val cfg = TranscriptGen.GenConfig(
