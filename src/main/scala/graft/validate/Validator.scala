@@ -196,9 +196,19 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
             val arr = col(edge)
             val fails = filter(arr, e => !coalesce(perElem(e), lit(true)))
             val anyEval = exists(arr, e => perElem(e).isNotNull)
-            // null array / empty / all-null elements -> NULL (vacuous)
+            // Rows whose cell is null / empty / all-null-elements are ABSENT
+            // from the reference's exploded+dropna'd series — but a STACKED
+            // literal in the program pushes a FULL-index series, and the
+            // outer-join alignment re-instates absent rows with the
+            // left-NaN-poison rule (runtime-fuzz 7101 case 0213: str(b)!='x'
+            // AND VAL-false fails the null-celled row too). Compiling the
+            // program with COL := NULL yields exactly that completion: null
+            // (vacuous) for alignment-free programs, the poisoned constant
+            // when a stacked op re-instates the row.
+            val absentVerdict = perElem(lit(null).cast(elemType))
             Compiled(
-              when(arr.isNotNull && coalesce(anyEval, lit(false)), size(fails) === 0))
+              when(arr.isNotNull && coalesce(anyEval, lit(false)), size(fails) === 0)
+                .otherwise(absentVerdict))
           case edges =>
             edges.find(e => df.schema(e).dataType.isInstanceOf[ArrayType]).foreach { e =>
               throw new UnsupportedOperationException(

@@ -78,4 +78,11 @@ class RuntimeFuzzSpec extends SparkSuite {
   // `gen <out> --n 60 --seed 7003`; campaign seeds 7001/7002 (600 cases)
   // ran at full parity before pinning
   replayFile("corpus_seed7003.json")
+  // pinned-seed corpus from the r6 shape-BROADENED generator (multi-model
+  // artifacts with name-shadowing second models, 15% per-element list
+  // assertions, title-renamed implicit-cast columns): `gen <out> --n 60
+  // --seed 7103`. Campaign seeds 7101/7102 (600 cases) found ONE real
+  // divergence (null list cells under stacked-VAL alignment — promoted to
+  // regressions.json as case 0213) and run at full parity after the fix.
+  replayFile("corpus_seed7103.json")
 }

@@ -16,7 +16,14 @@ from pathlib import Path
 
 import yaml  # noqa: E402  (import BEFORE the sdk path: it ships a py2-era yaml)
 
-sys.path.insert(0, '/usr/lib/google-cloud-sdk/lib/third_party')  # vendored lark
+# lark: prefer a pip-installed copy (`pip install -r
+# /root/reference/requirements.txt` on a clean checkout); fall back to the
+# google-cloud-sdk vendored copy only when absent (this sandbox has no pip
+# egress)
+try:
+    import lark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, '/usr/lib/google-cloud-sdk/lib/third_party')
 sys.path.insert(0, '/root/reference')
 
 from kye.kye import Kye  # noqa: E402

@@ -29,7 +29,14 @@ import math
 import random
 import sys
 
-sys.path.insert(0, '/usr/lib/google-cloud-sdk/lib/third_party')  # vendored lark
+# lark: prefer a pip-installed copy (`pip install -r
+# /root/reference/requirements.txt` on a clean checkout); fall back to the
+# google-cloud-sdk vendored copy only when absent (this sandbox has no pip
+# egress)
+try:
+    import lark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, '/usr/lib/google-cloud-sdk/lib/third_party')
 sys.path.insert(0, '/root/reference')
 
 import pandas as pd  # noqa: E402
@@ -245,9 +252,14 @@ def gen_case(rng, case_id):
             e['title'] = nm.upper() + '_t'
             titles[nm] = e['title']
         edges[nm] = e
-        # stringly-typed numeric data exercises the implicit-cast path
+        # stringly-typed numeric data exercises the implicit-cast path;
+        # r6: half of those ALSO get a title rename, so one case chains
+        # title-resolution -> implicit cast -> downstream stages
         if ty == 'Number' and rng.random() < 0.25:
             kinds[nm] = 'string_numbers' if rng.random() < 0.6 else 'string_junk'
+            if 'title' not in e and rng.random() < 0.5:
+                e['title'] = nm.upper() + '_t'
+                titles[nm] = e['title']
         elif ty == 'Number' and rng.random() < 0.2:
             # int64 data (never null/NaN — a single missing value would
             # silently flip the pandas dtype to float64 while the Spark
@@ -267,12 +279,13 @@ def gen_case(rng, case_id):
     model = {'indexes': indexes, 'edges': edges}
 
     # assertions: 0-2 type-correct programs over single scalar edges
-    # (the reference skips multi-edge assertions); ~7% target a many
-    # edge (per-element path — may crash the reference, recorded)
+    # (the reference skips multi-edge assertions); ~15% target a many
+    # edge (per-element path — may crash the reference, recorded; r6
+    # broadened from 7%: the list-cell S4 path was the thinnest shape)
     assertions = []
     for _ in range(rng.randint(0, 2)):
         candidates = [nm for nm in names
-                      if not edges[nm].get('many') or rng.random() < 0.07]
+                      if not edges[nm].get('many') or rng.random() < 0.15]
         if not candidates:
             continue
         nm = rng.choice(candidates)
@@ -407,7 +420,18 @@ def gen_case(rng, case_id):
                 if isinstance(c, dict) and set(c) == {'col'}}
         if refs & null_edges:
             a['expr'] = inline_bool_arith(a['expr'])
-    return {'models': {'M': model}}, columns
+    models = {'M': model}
+    if rng.random() < 0.2:
+        # r6: a second, never-loaded model in the same artifact — the
+        # loader must validate ONLY the targeted model; its edges reuse
+        # names from M (scoping bug bait) with different types/assertions
+        models['N'] = {
+            'indexes': [['a']],
+            'edges': {'a': {'type': 'Number'},
+                      'b': {'type': 'String'}},
+            'assertions': [{'msg': f'fuzz_{case_id}_other',
+                            'expr': [{'col': 'a'}, {'ge': 0.0}]}]}
+    return {'models': models}, columns
 
 
 def to_pandas(columns, n_rows):
