@@ -1,0 +1,151 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.streaming.StreamingValidator.{DupViolation, TsTurnEvent}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Streaming e2e on a REAL file source with a checkpoint restart in the
+  * middle (r5 verdict item 8): the MemoryStream tests pin the stateful
+  * operators' semantics; these pin the DEPLOYMENT contract — a restarted
+  * query resumes from the durable checkpoint with no duplicate and no
+  * lost verdicts:
+  *   - the file source must NOT re-read already-committed files (a
+  *     replay would re-emit phase-1 violations / window verdicts);
+  *   - flatMapGroupsWithState / the windowed aggregation must restore
+  *     their state stores (cross-batch dup/gap/ts-regression signals and
+  *     in-flight windows survive the bounce).
+  */
+class FileStreamRestartSpec extends SparkSuite {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("statefulTranscriptCheck survives a checkpoint restart on a file source") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("fsr").toString
+    val input = s"$root/in"
+    val ck = s"$root/ck"
+    Files.createDirectories(java.nio.file.Paths.get(input))
+
+    def writeFile(name: String, rows: Seq[(String, Int, java.sql.Timestamp)]): Unit = {
+      rows.toDF("conv_id", "turn_idx", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stage/$name")
+      // move the part file in atomically so the source sees ONE file
+      val dir = java.nio.file.Paths.get(s"$root/stage/$name")
+      val part = Files.list(dir).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, java.nio.file.Paths.get(s"$input/$name.parquet"))
+    }
+
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("ts", TimestampType)))
+    // the memory sink refuses checkpoint recovery — collect through
+    // foreachBatch (the recoverable sink deployments use)
+    def startQuery(sink: scala.collection.mutable.ListBuffer[DupViolation]) = {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(input)
+        .as[TsTurnEvent]
+      // idleTimeoutMs = 0: NoTimeout mode, strict first-contact gap check
+      StreamingValidator.statefulTranscriptCheck(events, idleTimeoutMs = 0)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[DupViolation], _: Long) =>
+          val rows = batch.collect()
+          sink.synchronized { sink ++= rows; () }
+        }
+        .option("checkpointLocation", ck)
+        .start()
+    }
+
+    // phase 1: conv A turns 0,1,1 (in-batch dup), conv B turns 0,1 (clean)
+    writeFile("f1", Seq(
+      ("A", 0, ts("2026-01-01 00:00:00")), ("A", 1, ts("2026-01-01 00:01:00")),
+      ("A", 1, ts("2026-01-01 00:01:30")),
+      ("B", 0, ts("2026-01-01 00:00:10")), ("B", 1, ts("2026-01-01 00:01:10"))))
+    val buf1 = scala.collection.mutable.ListBuffer.empty[DupViolation]
+    val q1 = startQuery(buf1)
+    try q1.processAllAvailable() finally q1.stop()
+    val p1 = buf1.synchronized(buf1.toSet)
+    assert(p1 == Set(DupViolation("A", 1, "dup_or_regression")), s"phase 1: $p1")
+
+    // phase 2 (AFTER the bounce): every signal here is CROSS-BATCH —
+    // detectable only from restored state (A.maxTurn=1 lastTs=00:01:30,
+    // B.maxTurn=1):
+    //   A turn 1 again -> dup_or_regression; A turn 2 with an EARLIER ts
+    //   -> ts_regression; B turn 3 (skipping 2) -> seq_gap
+    writeFile("f2", Seq(
+      ("A", 1, ts("2026-01-01 00:02:00")),
+      ("A", 2, ts("2026-01-01 00:00:30")),
+      ("B", 3, ts("2026-01-01 00:03:00"))))
+    val buf2 = scala.collection.mutable.ListBuffer.empty[DupViolation]
+    val q2 = startQuery(buf2)
+    try q2.processAllAvailable() finally q2.stop()
+    val p2 = buf2.synchronized(buf2.toSet)
+    // exactly the cross-batch violations: a lost state store would turn
+    // (A,1) into a seq_gap and miss the ts regression entirely; a replayed
+    // source would re-emit phase 1's (A,1,dup_or_regression) alongside
+    assert(p2 == Set(
+      DupViolation("A", 1, "dup_or_regression"),
+      DupViolation("A", 2, "ts_regression"),
+      DupViolation("B", 3, "seq_gap")), s"phase 2 after restart: $p2")
+  }
+
+  test("windowed drift monitor survives a checkpoint restart on a file source") {
+    import graft.transcript.{Drift, StatsProfiler}
+    val root = Files.createTempDirectory("fsr-drift").toString
+    val input = s"$root/in"
+    val ck = s"$root/ck"
+    Files.createDirectories(java.nio.file.Paths.get(input))
+    import spark.implicits._
+
+    def writeFile(name: String, rows: Seq[(String, java.sql.Timestamp)]): Unit = {
+      rows.toDF("text", "ts").coalesce(1).write.mode("overwrite").parquet(s"$root/stage/$name")
+      val dir = java.nio.file.Paths.get(s"$root/stage/$name")
+      val part = Files.list(dir).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, java.nio.file.Paths.get(s"$input/$name.parquet"))
+    }
+
+    val baseline: Drift.Histogram = Map("1" -> 30L, "2" -> 30L, "3" -> 30L)
+    val schema = StructType(Seq(
+      StructField("text", StringType), StructField("ts", TimestampType)))
+    def startMonitor(sink: scala.collection.mutable.ListBuffer[(String, Boolean)]) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(input)
+      StreamingValidator.startWindowedDriftMonitor(
+        stream, "ts",
+        StatsProfiler.bin(length(col("text")), lo = 0, width = 10, nBins = 8),
+        "text_len", baseline,
+        (w, v) => sink.synchronized {
+          sink += (w.toString.substring(11, 16) -> v.drifted); ()
+        },
+        watermark = "0 seconds", windowLen = "1 minute",
+        checkpointLocation = Some(ck))
+    }
+
+    // phase 1: window 00:00 matches the baseline mix, window 00:01 rows
+    // advance the watermark past 00:01 -> the 00:00 verdict emits
+    writeFile("w1", (1 to 30).map(i =>
+      ("x" * (12 + (i % 3) * 10), ts(f"2026-01-01 00:00:${i % 60}%02d"))))
+    writeFile("w2", (1 to 30).map(_ => ("hi", ts("2026-01-01 00:01:01"))))
+    val v1 = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val q1 = startMonitor(v1)
+    try q1.processAllAvailable() finally q1.stop()
+    val seen1 = v1.synchronized(v1.toList)
+    assert(seen1.map(_._1) == List("00:00"), s"phase 1 emits exactly window 00:00: $seen1")
+    assert(!seen1.head._2, "baseline-matching window must not drift")
+
+    // phase 2 after the bounce: a flush file advances the watermark past
+    // window 00:01 — the restarted monitor must emit EXACTLY that window
+    // (a replayed source or wiped state would re-emit 00:00, or lose the
+    // in-flight 00:01 counts and mis-judge the all-short window)
+    writeFile("w3", Seq(("flush", ts("2026-01-01 00:10:00"))))
+    val v2 = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val q2 = startMonitor(v2)
+    try q2.processAllAvailable() finally q2.stop()
+    val seen2 = v2.synchronized(v2.toList)
+    assert(seen2.map(_._1) == List("00:01"), s"phase 2 emits exactly window 00:01: $seen2")
+    assert(seen2.head._2, "the all-short window must flag drift after the restart")
+  }
+}
