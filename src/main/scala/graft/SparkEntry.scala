@@ -486,13 +486,23 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       // digest-guarded persisted centroid artifact (r5 verdict item 3):
-      // repeated ANN over an unchanged corpus skips k-means — the second
-      // Verify/Bench run in a session loads the artifact (one small read),
-      // a corpus change (different sf dir -> different digest) retrains
+      // repeated ANN over an unchanged corpus skips k-means. Keyed by a
+      // FILE-METADATA digest (path+length+mtime of the parquet parts — one
+      // cheap FS listing), so the loaded path costs no row I/O at all; a
+      // rewritten corpus flips the mtime/length and retrains. The
+      // content-digest overload (full scan) stays for callers without a
+      // trustworthy file-metadata story.
       val artifact = s"/tmp/graft-centroids/ivf_${
         Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))}.json"
+      val embPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val fs = embPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val metaDigest = graft.io.Digests.sha8(
+        fs.listStatus(embPath).filter(_.isFile).sortBy(_.getPath.getName)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .mkString("|"))
       val (centroids, trained) = Similarity.trainOrLoadCentroids(
-        e, "vec_id", "embedding", nLists = 32, artifactPath = artifact)
+        e, "vec_id", "embedding", nLists = 32, artifactPath = artifact,
+        digest = metaDigest, maxSamples = 8192, iters = 8)
       System.err.println(
         s"q_ann_ivf centroids: ${if (trained) "trained" else "loaded"} ($artifact)")
       Similarity.ivfTopK(e, "vec_id", "embedding", queries, "query_id", "qvec",

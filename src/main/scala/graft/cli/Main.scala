@@ -66,6 +66,16 @@ object Main {
         "--checkpoint (partition-wise validation); it has no effect elsewhere")
       usage(); sys.exit(2)
     }
+    // ann-mode option shapes, validated BEFORE Spark startup like every
+    // other mode's (a typo'd --n-lists must cost a usage line, not a
+    // cluster spin-up; --n-lists 0 would reach a divide-by-zero in
+    // trainCentroids)
+    if (mode == "ann") {
+      for (req <- Seq("table", "centroids") if !opts.contains(req)) {
+        System.err.println(s"ann requires --$req"); usage(); sys.exit(2)
+      }
+      Seq("n-lists", "k", "n-probe").foreach(parsePositiveInt(opts, _))
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -97,15 +107,14 @@ object Main {
     * `ann centroids: trained|loaded` so operators (and the e2e spec) can
     * see which path ran. */
   private def runAnn(spark: SparkSession, opts: Map[String, String]): Boolean = {
-    val table = opts.getOrElse("table",
-      { System.err.println("ann requires --table <parquet>"); usage(); sys.exit(2) })
-    val artifact = opts.getOrElse("centroids",
-      { System.err.println("ann requires --centroids <path>"); usage(); sys.exit(2) })
+    // presence + shape already validated pre-startup in main()
+    val table = opts("table")
+    val artifact = opts("centroids")
     val idCol = opts.getOrElse("id", "vec_id")
     val vecCol = opts.getOrElse("vec", "embedding")
-    val nLists = opts.get("n-lists").map(_.toInt).getOrElse(32)
-    val k = opts.get("k").map(_.toInt).getOrElse(5)
-    val nProbe = opts.get("n-probe").map(_.toInt).getOrElse(4)
+    val nLists = parsePositiveInt(opts, "n-lists").getOrElse(32)
+    val k = parsePositiveInt(opts, "k").getOrElse(5)
+    val nProbe = parsePositiveInt(opts, "n-probe").getOrElse(4)
     val items = spark.read.parquet(table)
     val (cents, trained) = graft.ops.Similarity.trainOrLoadCentroids(
       items, idCol, vecCol, nLists, artifact)

@@ -251,8 +251,9 @@ object ExprCompiler {
         val divisorLit: Option[Any] =
           cmd.args.lastOption.orElse(stackArgs.lastOption.flatMap(_.litVal))
         argTags match {
-          case List(Tag.NumInt, Tag.Bool) => Tag.NumInt
-          case List(Tag.NumInt, Tag.NumInt) => divisorLit match {
+          // bool dividends are ints here too (bool % 3 -> int64, probed r6)
+          case List(Tag.NumInt | Tag.Bool, Tag.Bool) => Tag.NumInt
+          case List(Tag.NumInt | Tag.Bool, Tag.NumInt) => divisorLit match {
             case Some(n) if isNumLit(n) && !isZeroNum(n) => Tag.NumInt
             case _ => Tag.Num
           }
@@ -611,8 +612,10 @@ object ExprCompiler {
     // int64 % BOOL-False is numpy integer mod-by-zero: 0, int64 result
     // (probed live) — pandas only intercepts NUMERIC zero divisors to NaN
     // (int64 % 0 and any float % 0/False are NaN). Same for a runtime
-    // bool-series divisor over an int column.
-    val intModBoolZero = a0.tag == Tag.NumInt && b0.tag == Tag.Bool
+    // bool-series divisor over an int column, and for a BOOL dividend
+    // (bool % False == 0 int64, probed r6 — bools are int64 here too).
+    val intModBoolZero =
+      (a0.tag == Tag.NumInt || a0.tag == Tag.Bool) && b0.tag == Tag.Bool
     def intZero: Column = when(a.isNull, lit(null).cast("bigint")).otherwise(lit(0L))
     b0.litVal match {
       case Some(false) if intModBoolZero => intZero

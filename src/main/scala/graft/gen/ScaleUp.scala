@@ -50,10 +50,13 @@ object ScaleUp {
           // kernels on non-ASCII content at bench scale
           val mlArr = array(MultilingualSlice.docs.map(d => lit(d._3)): _*)
           val mlHash = xxhash64(col("doc_id"), lit(r), lit("ml"))
+          // independent index hash — see TranscriptGen (a shared hash
+          // would make only indices ≡ 0 mod 4 reachable)
+          val mlIdx = xxhash64(col("doc_id"), lit(r), lit("ml-idx"))
           val mlSuffix = when(pmod(mlHash, lit(4)) === 0,
             concat(lit(" "),
               element_at(mlArr,
-                (pmod(mlHash, lit(MultilingualSlice.docs.size)) + 1).cast("int"))))
+                (pmod(mlIdx, lit(MultilingualSlice.docs.size)) + 1).cast("int"))))
             .otherwise(lit(""))
           concat(col("text"), lit(s" replica$r marker"), col("doc_id").cast("string"),
             mlSuffix)

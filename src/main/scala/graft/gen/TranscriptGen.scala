@@ -105,9 +105,13 @@ object TranscriptGen {
       lit(if (cfg.drifted) 2 else 1)
     val mlArr = array(MultilingualSlice.docs.map(d => lit(d._3)): _*)
     val mlHash = xxhash64(col("conv_id"), col("turn0"), lit("ml"))
+    // INDEPENDENT hash for the phrase index: reusing the gate hash would
+    // restrict gated rows to indices ≡ 0 (mod 8) — 4 of 32 phrases, none
+    // of them CJK/RTL/emoji (r6 review finding)
+    val mlIdx = xxhash64(col("conv_id"), col("turn0"), lit("ml-idx"))
     val mlSuffix = when(pmod(mlHash, lit(8)) === 0,
       concat(lit(" "),
-        element_at(mlArr, (pmod(mlHash, lit(MultilingualSlice.docs.size)) + 1).cast("int"))))
+        element_at(mlArr, (pmod(mlIdx, lit(MultilingualSlice.docs.size)) + 1).cast("int"))))
       .otherwise(lit(""))
     val baseText = concat(
       lit("t:"), col("conv_id"), lit(":"), col("turn0").cast("string"), lit(" "),

@@ -9,8 +9,9 @@ import java.nio.file.Files
   * sys.exit, so in-process invocation would kill the test runner): exit
   * code 65 on violations (the reference CLI's convention, kye/cli.py:80-83),
   * checkpoint resume skipping validated partitions, and --max-concurrent on
-  * the partition-wise path. One SparkSession cold-start per invocation
-  * (~10 s each) — kept to two invocations for suite-time reasons.
+  * the partition-wise path, plus the ann centroid-artifact lifecycle.
+  * One SparkSession cold-start per invocation (~10 s each) — five
+  * invocations total, the suite's deliberate e2e budget.
   */
 class CliE2eSpec extends SparkSuite {
 

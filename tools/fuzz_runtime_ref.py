@@ -639,6 +639,14 @@ def probe_cases():
         # float & int literal: TypeError (crash class — stays vacuous here)
         ('float_and_int_crash', num,
          [{'col': 'a'}, {'val': 4}, {'and': []}], numcol([5.0, 2.0, 0.0])),
+        # bool dividends are ints through MOD too: bool % 3 -> int64, and
+        # the bitwise dispatch applies downstream ((f%3)&1)
+        ('bool_mod_int_and', boole,
+         [{'col': 'f'}, {'mod': 3}, {'val': 1}, {'and': []}, {'eq': 0.0}], fcol),
+        # bool % False = numpy integer mod-by-zero: 0 int64 ("0" cast-str),
+        # NOT the numeric-zero NaN fold
+        ('bool_mod_false_cast', boole,
+         [{'col': 'f'}, {'mod': False}, {'cast': 'str'}, {'eq': '0'}], fcol),
     ]
 
 
