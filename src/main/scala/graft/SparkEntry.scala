@@ -486,23 +486,20 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       // digest-guarded persisted centroid artifact (r5 verdict item 3):
-      // repeated ANN over an unchanged corpus skips k-means. Keyed by a
-      // FILE-METADATA digest (path+length+mtime of the parquet parts — one
-      // cheap FS listing), so the loaded path costs no row I/O at all; a
-      // rewritten corpus flips the mtime/length and retrains. The
-      // content-digest overload (full scan) stays for callers without a
-      // trustworthy file-metadata story.
+      // repeated ANN over an unchanged corpus skips k-means. Keyed by the
+      // lineage layer's file-metadata snapshot id (one cheap FS listing —
+      // path+length+mtime, content-edge-block hardening available via
+      // contentDigest=true), so the loaded path costs no row I/O; a
+      // rewritten corpus flips the snapshot and retrains. The full-scan
+      // content-digest overload stays for callers without a trustworthy
+      // file-metadata story.
       val artifact = s"/tmp/graft-centroids/ivf_${
         Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))}.json"
-      val embPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-      val fs = embPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val metaDigest = graft.io.Digests.sha8(
-        fs.listStatus(embPath).filter(_.isFile).sortBy(_.getPath.getName)
-          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .mkString("|"))
+      val snapshot = new graft.io.ParquetPartitionedSource(
+        s, s"$dir/embeddings.parquet").snapshotId
       val (centroids, trained) = Similarity.trainOrLoadCentroids(
         e, "vec_id", "embedding", nLists = 32, artifactPath = artifact,
-        digest = metaDigest, maxSamples = 8192, iters = 8)
+        digest = snapshot, maxSamples = 8192, iters = 8)
       System.err.println(
         s"q_ann_ivf centroids: ${if (trained) "trained" else "loaded"} ($artifact)")
       Similarity.ivfTopK(e, "vec_id", "embedding", queries, "query_id", "qvec",

@@ -31,8 +31,11 @@ object TranscriptGen {
     * which sat above deep-negative neg-row timestamps).
     * v5: ~1/8 of turns carry a deterministic multilingual phrase
     * (MultilingualSlice) — the scaling corpus is non-ASCII-bearing like
-    * real training data. */
-  val GenVersion = 5
+    * real training data.
+    * v6: phrase INDEX decorrelated from the gate hash (v5's shared hash
+    * made only indices ≡ 0 mod 8 reachable — 4 ASCII-heavy phrases, no
+    * CJK/RTL/emoji). */
+  val GenVersion = 6
 
   final case class GenConfig(
       numConvs: Long,

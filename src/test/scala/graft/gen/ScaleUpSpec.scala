@@ -64,6 +64,34 @@ class ScaleUpSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("multilingual phrase coverage is decorrelated from the gate (r6 regression)") {
+    // the r6 bug: gate and index shared one hash, so gated rows could only
+    // reach indices ≡ 0 (mod gate-modulus) — 8 of 32 phrases, none of them
+    // CJK/RTL/emoji. Pin BOTH generators: enough distinct phrases appear,
+    // and at least one CJK phrase lands in generated text.
+    val manyDocs = spark.range(2000).select(
+      col("id").as("doc_id"), lit("base text").as("text"),
+      lit("en").as("lang"), lit("web").as("source"), lit(9L).as("n_chars"))
+    val scaled = ScaleUp.scaleDocuments(manyDocs, 2)
+      .filter(col("doc_id") >= 100000L) // replica 1 rows carry suffixes
+    val phrases = MultilingualSlice.docs.map(_._3)
+    val hit = scaled.select(col("text")).as[String].collect()
+    val distinctPhrases = phrases.count(p => hit.exists(_.contains(p)))
+    assert(distinctPhrases > 8,
+      s"gate/index correlation regressed: only $distinctPhrases/32 phrases reachable")
+    assert(hit.exists(_.exists(c => c >= '一' && c <= '鿿')),
+      "no CJK phrase reached the scaled corpus")
+
+    val t = TranscriptGen.transcripts(spark,
+      TranscriptGen.GenConfig(numConvs = 600, seed = 7, numPartitions = 2))
+    val texts = t.select(col("text")).as[String].filter(_ != null).collect()
+    val distinctT = phrases.count(p => texts.exists(_.contains(p)))
+    assert(distinctT > 8,
+      s"TranscriptGen gate/index correlation regressed: $distinctT/32 phrases")
+    assert(texts.exists(_.exists(c => c >= '一' && c <= '鿿')),
+      "no CJK phrase reached the transcript corpus")
+  }
+
   test("scaling is deterministic") {
     val a = ScaleUp.scaleDocuments(docs, 5).orderBy("doc_id").collect()
     val b = ScaleUp.scaleDocuments(docs, 5).orderBy("doc_id").collect()
