@@ -104,8 +104,9 @@ object MultilingualSlice {
     val rows = docs.map { case (id, lang, text) =>
       Row(id, text, lang, "multilingual_slice", codepoints(text))
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    // LocalRelation (list overload), NOT parallelize: an RDD-backed scan
+    // would add a stage and block pushdown/codegen fusion around the union
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** The same rows as a DuckDB VALUES relation (columns doc_id, text,
