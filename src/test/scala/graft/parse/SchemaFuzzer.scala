@@ -280,6 +280,26 @@ object SchemaFuzzer {
       sep()
       models += mName
     }
+
+    // r6: a ref-free type statement AFTER the models — the reference's
+    // collect_refs accumulates across statements (desugar.py:88-94), so
+    // this aliases ONLY when no earlier statement introduced a ref
+    // (assertions/edge-exprs/FK edges all do); otherwise it survives to
+    // the TypeBuilder and is rejected. Both outcomes must match the
+    // reference byte-for-byte / status-for-status.
+    if (rnd.nextInt(3) == 0) {
+      val late = typeName(rnd, typeNames)
+      maybeComment()
+      sb.append(late).append(": ").append(stringLit(rnd))
+      sep()
+      if (rnd.nextBoolean()) {
+        // a trailing model USING the late alias: compiles only on the
+        // no-prior-refs path (the alias inlines to an edge assertion)
+        val lm = typeName(rnd, typeNames)
+        sb.append(lm).append("(lid) {\n  lid: Number\n  lv: ").append(late).append("\n}")
+        sep()
+      }
+    }
     sb.toString
   }
 }
