@@ -9,14 +9,16 @@ import java.nio.charset.StandardCharsets
   *
   * The live campaign byte-compared `KyeParser.compile(...).toJson/toYaml`
   * against the reference compiler (`kye -c`, via tools/fuzz_ref.py) over
-  * 2,464 seeded schemas to zero divergences; this spec pins a 64-case
-  * corpus of reference outputs (src/test/resources/fuzz, seed 20260817)
+  * 2,464 seeded schemas to zero divergences; this spec pins a 96-case
+  * corpus of reference outputs (src/test/resources/fuzz, seed 20260817;
+  * regenerated r6 after the late-alias generator extension — 18 cases
+  * exercise the accumulated-refs reject path)
   * so the parity holds without the reference being present.
   */
 class KyeParserFuzzSpec extends AnyFunSuite {
 
   private val PinnedSeed = 20260817L
-  private val PinnedCount = 64
+  private val PinnedCount = 96
 
   private def resource(name: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/fuzz/$name")

@@ -287,7 +287,7 @@ object SchemaFuzzer {
     // (assertions/edge-exprs/FK edges all do); otherwise it survives to
     // the TypeBuilder and is rejected. Both outcomes must match the
     // reference byte-for-byte / status-for-status.
-    if (rnd.nextInt(3) == 0) {
+    if (rnd.nextInt(6) == 0) {
       val late = typeName(rnd, typeNames)
       maybeComment()
       sb.append(late).append(": ").append(stringLit(rnd))
