@@ -24,14 +24,28 @@ object SparkEntry {
 
   // ---------- shared inputs ---------------------------------------------------
 
+  /** Per-session memo of resolved parquet relations. `spark.read.parquet`
+    * re-runs source resolution (file listing + footer schema read) on
+    * every call — ~0.1-0.3 s of driver time per query in a 29-query
+    * session over the same three tables. The memo caches the resolved
+    * DataFrame (metadata only — no rows are persisted; every action still
+    * scans the files), exactly what a table catalog gives you at scale.
+    * Keyed by (session, path) so concurrent sessions and different SF
+    * dirs never share relations. */
+  private val readMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def readParquet(spark: SparkSession, path: String): DataFrame =
+    readMemo.computeIfAbsent((spark, path), { case (s, p) => s.read.parquet(p) })
+
   private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    readParquet(spark, s"$dir/events.parquet")
 
   private def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    readParquet(spark, s"$dir/documents.parquet")
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    readParquet(spark, s"$dir/embeddings.parquet")
 
   /** Transcript table derived from events: conv = user, turns ordered by
     * (ts, event_id); deterministic error injection keyed on event_id:
@@ -128,7 +142,15 @@ object SparkEntry {
 
   // ---------- queries -----------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** [[queries0]] with [[Tuning]] applied on entry: every declared query
+    * runs under the engine's session tuning regardless of which harness
+    * (Bench, Verify, BenchExtra, tests) built the session. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries0.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => { Tuning(s); fn(s, dir) })
+    }
+
+  private def queries0: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // == Kye engine: expression VM opcode coverage (SURVEY §2.1), compiled
     // through ExprCompiler postfix programs into one Catalyst projection ==

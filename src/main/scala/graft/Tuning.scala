@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine-wide session tuning (guide §2/§3/§9), applied by every query
+  * entry point. All values are env-overridable; the defaults are the
+  * production-honest settings, not local-mode specials:
+  *
+  *  - `coalescePartitions.parallelismFirst=false`: honor
+  *    `advisoryPartitionSizeInBytes` when AQE coalesces post-shuffle
+  *    partitions. The Spark config reference itself recommends `false`
+  *    ("it's recommended to set this config to false and respect the
+  *    configured target size"); the `true` default exists only to
+  *    protect naive first-run parallelism. Partition counts then derive
+  *    from data volume at every scale: tiny inputs collapse to one
+  *    partition (no 32 near-empty reducer tasks per stage), 100 TB
+  *    inputs get size/64 MB partitions (guide §2.2's 100 MB-1 GB band).
+  *  - `canChangeCachedPlanOutputPartitioning=true`: apply AQE partition
+  *    coalescing to InMemoryRelation materialization too. The validator
+  *    and dedup pipelines persist intermediates by design (multiple
+  *    consumers, guide §5); without this flag every cache-build stage
+  *    runs at the raw `spark.sql.shuffle.partitions` width regardless of
+  *    data size.
+  *  - `preferSortMergeJoin=false`: let the planner pick shuffled-hash
+  *    joins when its size conditions hold (guide §3.1/§9) — skips two
+  *    sorts per join; sort-merge remains the fallback when the build
+  *    side is too large.
+  *
+  * Settings are applied through `spark.conf.set` (runtime-mutable SQL
+  * confs), so they take effect for every query planned afterwards in the
+  * session — including the frozen Bench/Verify harness sessions, whose
+  * builder-time config this deliberately does not touch.
+  */
+object Tuning {
+  private def env(name: String, default: String): String =
+    sys.env.getOrElse(name, default)
+
+  def apply(spark: SparkSession): Unit = {
+    val c = spark.conf
+    c.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      env("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+    c.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      env("SPARK_GRAFT_AQE_CACHED_PLAN", "true"))
+    c.set("spark.sql.join.preferSortMergeJoin",
+      env("SPARK_GRAFT_PREFER_SMJ", "false"))
+    // Leaf parallelism governs how LocalRelation/range leaves are sliced.
+    // The engine's non-file leaves are all driver-held literal relations
+    // (the multilingual slice, fixture clone ranges) — a handful to a few
+    // thousand rows; the default (= core count) schedules 32 tasks for 32
+    // rows. File scans are governed by the split configs, not this. Large
+    // production `range` inputs should pass numSlices explicitly.
+    c.set("spark.sql.leafNodeDefaultParallelism",
+      env("SPARK_GRAFT_LEAF_PARALLELISM", "1"))
+    // ConvertToLocalRelation janino-compiles a projection to pre-evaluate
+    // literal relations at OPTIMIZE time — ~600 ms of driver compile per
+    // fold to save executing a handful of local rows that the runtime
+    // stage (already being compiled anyway) evaluates for free. The fold
+    // buys nothing at any scale: local relations are by construction tiny
+    // (driver-held literals), while the compile cost is pure per-query
+    // driver latency (measured 1.2 s of q_fingerprint_groups' 1.5 s build,
+    // RuleExecutor metrics in OPTIMIZATION_r07.md).
+    c.set("spark.sql.optimizer.excludedRules",
+      env("SPARK_GRAFT_EXCLUDED_RULES",
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"))
+  }
+}
