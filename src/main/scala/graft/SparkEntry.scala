@@ -52,9 +52,23 @@ object SparkEntry {
     * +1 turn gap (%97), null role (%251), null text (%157). */
   def transcripts(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    ev.select(
+    // conv_id is materialized as an ATTRIBUTE before the window and the
+    // window partitions by that attribute (same groups — the cast is
+    // injective on integral user_ids — so row_number is unchanged).
+    // Partitioning by the attribute (not the cast expression, which the
+    // planner would extract into a `_w0` twin alias and project away)
+    // means the window's exchange IS a conv_id hash partitioning, so
+    // every downstream conv_id-keyed aggregation/window in the transcript
+    // suite reuses this one exchange instead of adding its own (guide
+    // §2.4 "two operations keyed the same way can share one exchange").
+    // Measured: q_conv_verdicts 4 exchanges -> 1, q_transcript_seq_gaps
+    // 3 -> 1, q_transcript_uniqueness 2 -> 1.
+    val base = ev.select(
       col("user_id").cast("string").as("conv_id"),
+      col("event_id"), col("ts"), col("event_type"), col("props"))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("event_id"))
+    base.select(
+      col("conv_id"),
       (row_number().over(w) - 1 +
         when(col("event_id") % 97 === 0, 1).otherwise(0)).cast("int").as("turn_idx"),
       when(col("event_id") % 251 === 0, lit(null: String))
@@ -83,19 +97,35 @@ object SparkEntry {
       | CAST(NULL AS VARCHAR) AS tool, ts, event_id
       |FROM events""".stripMargin
 
-  /** Transcripts with duplicate-(conv_id, turn_idx) injection (%101). */
+  /** Transcripts with duplicate-(conv_id, turn_idx) injection (%101).
+    * Injection by explode (1 or 2 copies per row), not self-union: the
+    * union form ran the whole transcripts window TWICE (one scan + one
+    * window shuffle per leg) and its Union node erased the window's
+    * conv_id partitioning for downstream aggregations. Same row multiset
+    * by construction. */
   def transcriptsWithDups(spark: SparkSession, dir: String): DataFrame = {
     val t = transcripts(spark, dir)
-    t.union(t.filter(col("event_id") % 101 === 0))
+    t.select(col("*"),
+        explode(when(col("event_id") % 101 === 0, typedlit(Seq(0, 1)))
+          .otherwise(typedlit(Seq(0)))).as("_copy"))
+      .drop("_copy")
+  }
+
+  /** Rows duplicated under a rewritten id: id % `mod` == 0 rows appear
+    * again with id + 10^7 — the shared dup-injection shape of the dedup
+    * fixtures, as ONE scan (explode of 1-or-2 ids) instead of a
+    * self-union that scans the table twice. */
+  private def injectDups(df: DataFrame, idCol: String, mod: Int): DataFrame = {
+    val rest = df.columns.filter(_ != idCol).map(col)
+    df.select((explode(
+      when(col(idCol) % mod === 0, array(col(idCol), col(idCol) + 10000000L))
+        .otherwise(array(col(idCol)))).as(idCol) +: rest): _*)
   }
 
   /** Documents with injected exact duplicates: rows with doc_id % 17 == 0
     * appear again under doc_id + 10000000. */
-  def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir)
-    d.union(d.filter(col("doc_id") % 17 === 0)
-      .withColumn("doc_id", col("doc_id") + 10000000L))
-  }
+  def docsWithDups(spark: SparkSession, dir: String): DataFrame =
+    injectDups(documents(spark, dir), "doc_id", 17)
 
   /** Corpus + the deterministic multilingual slice
     * ([[graft.gen.MultilingualSlice]]) — the non-ASCII leg of the text
@@ -107,11 +137,8 @@ object SparkEntry {
 
   /** [[docsWithDups]] over the multilingual-extended corpus (same %17
     * dup-injection rule, mirrored in the oracle SQL). */
-  def docsWithDupsMl(spark: SparkSession, dir: String): DataFrame = {
-    val d = documentsWithMl(spark, dir)
-    d.union(d.filter(col("doc_id") % 17 === 0)
-      .withColumn("doc_id", col("doc_id") + 10000000L))
-  }
+  def docsWithDupsMl(spark: SparkSession, dir: String): DataFrame =
+    injectDups(documentsWithMl(spark, dir), "doc_id", 17)
 
   // ---------- kye-engine fixtures ---------------------------------------------
 
@@ -396,9 +423,7 @@ object SparkEntry {
     // any other candidate — so the output is deterministic regardless of
     // the hash family. ==
     "q_dedup_embedding" -> ((s, dir) => {
-      val e = embeddings(s, dir)
-      val withDups = e.union(
-        e.filter(col("vec_id") % 13 === 0).withColumn("vec_id", col("vec_id") + 10000000L))
+      val withDups = injectDups(embeddings(s, dir), "vec_id", 13)
       // maxBucketSize raised well above any bucket this corpus can produce
       // (noise vectors, 2^16 buckets) so the oracle's "every injected pair
       // present" invariant can't collide with the production hot-bucket
