@@ -293,8 +293,16 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         // in the join (NaN = NaN in joins), emitting NonUniqueSubIndex
         // rows the reference never produces
         val tagged = df.withColumn("_sk", keyStructNanSafe(df, subIdx))
+        // nunique != 1 WITHOUT a distinct aggregate (which plans as two
+        // exchanges): over the non-null full keys of a group,
+        // nunique >= 2 ⟺ min != max and nunique = 0 ⟺ count = 0 — the
+        // same trichotomy trick S6 uses for scalar edges. min/max/count
+        // share one single-phase hash aggregate (one exchange), with
+        // constant-size buffers under hot keys either way.
         val badKeys = tagged.groupBy(col("_sk"))
-          .agg(countDistinct(fullKey).as("_n")).filter(col("_n") =!= 1).select("_sk")
+          .agg(count(fullKey).as("_c"), min(fullKey).as("_mn"), max(fullKey).as("_mx"))
+          .filter(!(col("_c") > 0 && col("_mn") <=> col("_mx")))
+          .select("_sk")
         val badRows = tagged.join(badKeys, "_sk").select(col(rowId))
         badRowSets += badRows
         violations += badRows.select(
@@ -469,8 +477,6 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         }
         if (fieldPlans.forall(_.isDefined)) {
           val (cols1, cols2) = fieldPlans.flatten.unzip
-          val p1 = gdf.select(keyCols(cols1).as("_v"), col("_key"))
-          val p2 = gdf.select(keyCols(cols2).as("_v"), col("_key"))
           // ONE exchange + ONE materialization for both consumers: cache
           // the union AFTER the explicit repartition(_v) — the cached
           // relation keeps its HashPartitioning(_v), so the conflicts
@@ -484,9 +490,19 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
           // instead. The isNotNull is semantics-preserving — the inner
           // join never matched null key values (mirroring the reference's
           // dropped NaN group labels) — and keeps the cache slim.
-          val t = cached(p1.union(p2).filter(col("_v").isNotNull).repartition(col("_v")))
-          val conflicts = t.groupBy("_v").agg(countDistinct(col("_key")).as("_n"))
-            .filter(col("_n") > 1).select("_v")
+          // both key projections in ONE pass over gdf (explode of a 2-array
+          // — the fieldPlans widening above makes the two sides share one
+          // type), instead of a 2-leg union that scanned gdf twice
+          val t = cached(gdf
+            .select(explode(array(keyCols(cols1), keyCols(cols2))).as("_v"), col("_key"))
+            .filter(col("_v").isNotNull).repartition(col("_v")))
+          // "more than one distinct entity" without a distinct aggregate
+          // (two exchanges): min != max over the group's non-null keys —
+          // all-null or single-key groups read min <=> max and drop, like
+          // countDistinct <= 1 did
+          val conflicts = t.groupBy("_v")
+            .agg(min(col("_key")).as("_mn"), max(col("_key")).as("_mx"))
+            .filter(!(col("_mn") <=> col("_mx"))).select("_v")
           // one occurrence per (key, sub-index side) whose key VALUE group
           // conflicts — NOT a distinct key set: the reference lists a row
           // once per invalid occurrence in the concatenated series

@@ -211,6 +211,49 @@ class ValidatorEdgeCaseSpec extends SparkSuite {
       s"no consumer-side _v exchange expected, got:\n${vExchanges.mkString("\n")}")
   }
 
+  test("S5/S7: min/max flagging matches distinct-count semantics on repeats and null fields") {
+    // r7 optimization: the S5 nunique!=1 and S7 countDistinct>1 flags are
+    // computed as single-phase min/max aggregates (one exchange instead of
+    // the distinct aggregate's two). Pin the equivalence edges:
+    //   - repeated OCCURRENCES of one distinct key never flag (min==max);
+    //   - keys differing only in a null FIELD are distinct (min!=max
+    //     through the struct ordering, nulls-first).
+    val schema = CompiledSchema.load(
+      """{"models": {"M": {"indexes": ["k1", "k2"], "edges": {
+        |  "k1": {"type": "Number"}, "k2": {"type": "Number"}}}}}""".stripMargin)
+    // entity (5,5): the value 5 occurs TWICE in the S7 union (k1 side and
+    // k2 side) but names ONE entity — two occurrences, one distinct key.
+    // entity (6,7): no value shared with anything. Zero conflicts.
+    val clean = df(
+      StructType(Seq(
+        StructField("k1", LongType), StructField("k2", LongType),
+        StructField("_row", LongType, nullable = false))),
+      Seq(Row(5L, 5L, 0L), Row(6L, 7L, 1L)))
+    val cleanResult = new Validator(schema, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", clean)
+    assert(cleanResult.violations.count() === 0,
+      "self-coincident alternate keys of ONE entity must not conflict")
+    assert(cleanResult.survivors.get.count() === 2)
+
+    // sub-index FD with full keys differing only in a null field:
+    // sk=1 groups rows whose full keys are (1, null) and (1, 2) — two
+    // distinct full keys, so NonUniqueSubIndex must fire for both rows
+    val schema2 = CompiledSchema.load(
+      """{"models": {"M": {"indexes": ["id", "sk"], "edges": {
+        |  "id": {"type": "Number", "none": true}, "sk": {"type": "Number"}}}}}""".stripMargin)
+    val nullField = df(
+      StructType(Seq(
+        StructField("id", LongType), StructField("sk", LongType),
+        StructField("_row", LongType, nullable = false))),
+      Seq(Row(null, 1L, 0L), Row(2L, 1L, 1L)))
+    val r2 = new Validator(schema2, ValidatorConfig(abortOnEmpty = false))
+      .validate("M", nullField)
+    val subIdx = r2.violations.filter("err = 'NonUniqueSubIndex' AND col = 'sk'")
+      .collect().map(_.getAs[Long]("row")).toSet
+    assert(subIdx === Set(0L, 1L),
+      s"(1,null) vs (1,2) full keys are distinct under sk=1: $subIdx")
+  }
+
   test("S4: zero-edge constant assertion emits violation rows with null col") {
     val schema = CompiledSchema.load(
       """{"models": {"M": {"index": "id",
