@@ -117,6 +117,14 @@ object Similarity {
     val cands = probes.join(itemsB, "_bucket")
       .select(col("query_id"), col("item_id"),
         cosine(col("_iv"), col("_qv")).as("score"))
+      // ONE query_id exchange for both keyed steps (guide §2.4): the
+      // explicit repartition's HashPartitioning(query_id) satisfies the
+      // pair-dedup groupBy (query_id ⊂ its keys) AND the rank window, so
+      // neither adds an exchange — previously the groupBy shuffled on
+      // (query_id, item_id) and the window re-shuffled on query_id. Skew
+      // exposure is unchanged: the window already clustered per query, and
+      // per-query candidates are bounded by maxBucketSize x tables x probes.
+      .repartition(col("query_id"))
       // a pair can surface via several probes
       .groupBy(col("query_id"), col("item_id")).agg(max(col("score")).as("score"))
     val w = org.apache.spark.sql.expressions.Window

@@ -270,7 +270,11 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
             if (anyFailed) p else lit(true) // strict: null drops too
           }
         } else rawPreds.map { case (_, p) => coalesce(p, lit(true)) }
-      df = cached(df.filter(survivorPreds.reduce(_ && _)))
+      // NOT cached: the parent df is already materialized (S3 cache), and
+      // this is just a codegen'd predicate over it — a second cache would
+      // hold a near-full second copy of the table at every scale to save
+      // re-evaluating cheap predicates on cache reads
+      df = df.filter(survivorPreds.reduce(_ && _))
       // parity: the reference's post-mask empty abort (loader.py:128-129)
       // runs only when a mask actually dropped rows — an already-empty
       // table with no firing assertion flows on, it does not abort
@@ -404,6 +408,14 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     val grouped = cached(grouped0.select(groupedCols: _*))
 
     var groupOk: Column = lit(true)
+    // per-(column, verdict) legs each filter `grouped` with a LITERAL err
+    // column — deliberately NOT fused into one explode pass: the literal
+    // lets consumers filtering on err (every driver query does) constant-
+    // fold a leg's predicate and PRUNE the whole leg at optimize time; a
+    // fused struct-array explode makes err data-dependent and forces all
+    // S6 machinery into every such plan (measured: q_kye_subindex 10 -> 26
+    // AQE jobs). The 2N cached-relation re-scans the legs cost are cheap
+    // next to that.
     val badKeyParts = ListBuffer.empty[DataFrame]
     for (c <- dataCols) {
       val e = model.edge(c)
@@ -441,7 +453,10 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         col(rowId).cast(LongType).as("row"), col("col"), col("loc"),
         lit(null).cast(StringType).as("expected"))
     }
-    var gdf = cached(grouped.filter(groupOk))
+    // NOT cached: grouped is the materialized relation; gdf is a cheap
+    // predicate over it (same reasoning as the S4 survivor filter — a
+    // second cache would double cache footprint at scale for nothing)
+    var gdf = grouped.filter(groupOk)
     // drop source = groups failing a cardinality verdict (grouped is cached,
     // so the parity-mode guard probe is cheap)
     if (emptyAbort(gdf, !grouped.isEmpty)) return abort()
