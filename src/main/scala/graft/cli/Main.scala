@@ -85,6 +85,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Tuning(spark) // engine-wide session tuning (env-overridable)
     val hadViolations =
       try {
         if (mode == "kye") runKye(spark, opts, maxGroupValues)

@@ -350,8 +350,22 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     // a min/max, or survive into grouped values — map it to NULL before
     // aggregating (Spark aggregates then skip it like the reference's drop)
     def nanSafe(c: String): Column = nanSafeCol(df, c)
+    // Scalar INDEX-COMPONENT columns need no aggregate at all: the group
+    // key fixes their (NaN-mapped) value, so within a group min = max =
+    // the key component and the 0/1/>1 trichotomy collapses to
+    // "0 iff the component is null, else 1". Their value and _n are
+    // projected from _key after the aggregate — fewer buffer fields per
+    // group at every scale. (Array-typed index components, if ever
+    // allowed, still aggregate: the key is their nanSafe'd array value
+    // but per-ELEMENT distinct counts are not derivable from it.)
+    def keyComponent(c: String): Option[Column] =
+      if (modes(c) == Scalar && model.index.contains(c))
+        Some(if (model.index.size == 1) col("_key")
+             else col("_key").getField(s"_${model.index.indexOf(c)}"))
+      else None
     val aggExprs = ListBuffer.empty[Column]
     for (c <- dataCols) modes(c) match {
+      case _ if keyComponent(c).isDefined => ()
       case ArrayOf | SetOf =>
         // distinct non-null values across the group — per-ELEMENT for array
         // columns (reference: explode().dropna().nunique(),
@@ -364,8 +378,11 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
         aggExprs += max(nanSafe(c)).as(s"_max_$c")
         aggExprs += count(nanSafe(c)).as(s"_cnt_$c")
     }
-    val grouped0 = df.groupBy(key.as("_key"))
-      .agg(aggExprs.head, aggExprs.tail.toSeq: _*)
+    // a model whose every edge is an index component leaves no aggregate
+    // expressions — keep one trivial count so the grouping still plans
+    val grouped0 =
+      if (aggExprs.isEmpty) df.groupBy(key.as("_key")).agg(count(lit(1)).as("_grp_n"))
+      else df.groupBy(key.as("_key")).agg(aggExprs.head, aggExprs.tail.toSeq: _*)
     // first non-null in row order is not distributed-stable; sorted-distinct
     // (= min for scalars) is. Groups where it matters (>1 distinct on a
     // single-valued edge) are dropped as MultipleValues anyway, so
@@ -383,7 +400,7 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
       Seq(col("_key")) ++
         dataCols.map { c =>
           val e = model.edge(c)
-          val raw = modes(c) match {
+          val raw = keyComponent(c).getOrElse(modes(c) match {
             case Scalar => col(s"_min_$c")
             case _ =>
               // already sorted ascending by the aggregate; drop the +1
@@ -391,17 +408,20 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
               val vals = col(s"_vals_$c")
               // `get` (not getItem) tolerates the empty group under ANSI
               if (e.many) slice(vals, 1, cap) else get(vals, lit(0))
-          }
+          })
           when(nullKeyGroup, lit(null)).otherwise(raw).as(c)
         } ++
         dataCols.map { c =>
-          val raw = modes(c) match {
-            case Scalar =>
-              // 0 when empty, 1 when single distinct, 2 as "more than one"
-              when(col(s"_cnt_$c") === 0, 0)
-                .when(col(s"_min_$c") === col(s"_max_$c"), 1)
-                .otherwise(2)
-            case _ => size(col(s"_vals_$c"))
+          val raw = keyComponent(c) match {
+            case Some(k) => when(k.isNull, 0).otherwise(1)
+            case None => modes(c) match {
+              case Scalar =>
+                // 0 when empty, 1 when single distinct, 2 as "more than one"
+                when(col(s"_cnt_$c") === 0, 0)
+                  .when(col(s"_min_$c") === col(s"_max_$c"), 1)
+                  .otherwise(2)
+              case _ => size(col(s"_vals_$c"))
+            }
           }
           when(nullKeyGroup, 0).otherwise(raw).as(s"_n_$c")
         }
