@@ -485,7 +485,7 @@ object SparkEntry {
     // expected groups), so the assumption is cross-checked, not silent. ==
     "q_dedup_hotbucket" -> ((s, dir) => {
       val boiler = "terms of service all rights reserved contact us privacy policy cookie settings"
-      val clones = s.range(1500).select(
+      val clones = s.range(0, 1500, 1, 1).select(
         (col("id") + 20000000L).as("doc_id"), lit(boiler).as("text"))
       val corpus = docsWithDups(s, dir).select(col("doc_id"), col("text")).union(clones)
       Dedup.minHashNearDuplicates(corpus, "doc_id", "text",
@@ -511,7 +511,7 @@ object SparkEntry {
       val e = embeddings(s, dir)
       val neg = e.filter(col("vec_id") === 1)
         .select(transform(col("embedding"), x => -x).as("embedding"))
-      val hot = s.range(1500).crossJoin(neg)
+      val hot = s.range(0, 1500, 1, 1).crossJoin(neg)
         .select((col("id") + 30000000L).as("vec_id"), col("embedding"))
       val items = e.select(col("vec_id"), col("embedding")).union(hot)
       val queries = e.filter(col("vec_id") === 1)

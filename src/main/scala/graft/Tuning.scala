@@ -40,14 +40,13 @@ object Tuning {
       env("SPARK_GRAFT_AQE_CACHED_PLAN", "true"))
     c.set("spark.sql.join.preferSortMergeJoin",
       env("SPARK_GRAFT_PREFER_SMJ", "false"))
-    // Leaf parallelism governs how LocalRelation/range leaves are sliced.
-    // The engine's non-file leaves are all driver-held literal relations
-    // (the multilingual slice, fixture clone ranges) — a handful to a few
-    // thousand rows; the default (= core count) schedules 32 tasks for 32
-    // rows. File scans are governed by the split configs, not this. Large
-    // production `range` inputs should pass numSlices explicitly.
-    c.set("spark.sql.leafNodeDefaultParallelism",
-      env("SPARK_GRAFT_LEAF_PARALLELISM", "1"))
+    // NOTE deliberately NOT set: spark.sql.leafNodeDefaultParallelism.
+    // Lowering it to 1 stopped literal relations from fanning 32 rows
+    // over 32 tasks, but it also feeds spark.sql.files.minPartitionNum —
+    // at sf1 every parquet scan collapsed to one split and the native
+    // kernels serialized (q_ann_lsh 5.1s vs 3.2s, q_dedup_minhash 5.5
+    // vs 4.3). Literal relations pass explicit slice counts at their
+    // construction sites instead (MultilingualSlice.df, fixture ranges).
     // ConvertToLocalRelation janino-compiles a projection to pre-evaluate
     // literal relations at OPTIMIZE time — ~600 ms of driver compile per
     // fold to save executing a handful of local rows that the runtime

@@ -105,8 +105,10 @@ object MultilingualSlice {
       Row(id, text, lang, "multilingual_slice", codepoints(text))
     }
     // LocalRelation (list overload), NOT parallelize: an RDD-backed scan
-    // would add a stage and block pushdown/codegen fusion around the union
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // would add a stage and block pushdown/codegen fusion around the union.
+    // coalesce(1): LocalTableScan otherwise slices by
+    // leafNodeDefaultParallelism — 32 tasks for 32 rows on a 32-core box
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema).coalesce(1)
   }
 
   /** The same rows as a DuckDB VALUES relation (columns doc_id, text,
