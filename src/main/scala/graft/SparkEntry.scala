@@ -384,8 +384,14 @@ object SparkEntry {
 
     // == dedup: exact unigram Jaccard via pruned inverted index ==
     "q_dedup_jaccard" -> ((s, dir) =>
+      // %10 sampling pushed BELOW the dup injection (Catalyst cannot do
+      // this itself — it needs the arithmetic fact that the +10^7 id
+      // rewrite preserves the mod-10 class, so filtering originals first
+      // yields exactly the same row multiset): the explode then runs on a
+      // tenth of the corpus instead of generating rows the filter drops
       Dedup.ngramJaccardPairs(
-        docsWithDups(s, dir).filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        injectDups(documents(s, dir).filter(col("doc_id") % 10 === 0), "doc_id", 17),
+        "doc_id", "text",
         n = 1, threshold = 0.8, maxDocFreq = 500)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
 
