@@ -546,8 +546,12 @@ object SparkEntry {
       // rewritten corpus flips the snapshot and retrains. The full-scan
       // content-digest overload stays for callers without a trustworthy
       // file-metadata story.
+      // 128-bit hex of the dir key (r6 advice): the old 32-bit hash
+      // across many corpora risked artifact-path collisions, surfacing
+      // as retrain churn between corpora sharing a path
       val artifact = s"/tmp/graft-centroids/ivf_${
-        Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))}.json"
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8")).take(16).map("%02x".format(_)).mkString}.json"
       val snapshot = new graft.io.ParquetPartitionedSource(
         s, s"$dir/embeddings.parquet").snapshotId
       val (centroids, trained) = Similarity.trainOrLoadCentroids(

@@ -609,11 +609,13 @@ object ExprCompiler {
     val a = numOf(a0)
     val b = numOf(b0)
     def floorMod(x: Column, y: Column): Column = ((x % y) + y) % y
-    // int64 % BOOL-False is numpy integer mod-by-zero: 0, int64 result
-    // (probed live) — pandas only intercepts NUMERIC zero divisors to NaN
-    // (int64 % 0 and any float % 0/False are NaN). Same for a runtime
-    // bool-series divisor over an int column, and for a BOOL dividend
-    // (bool % False == 0 int64, probed r6 — bools are int64 here too).
+    // int64 % BOOL-False is numpy integer mod-by-zero: 0 with an integer
+    // dtype (probed live) — pandas only intercepts NUMERIC zero divisors
+    // to NaN (int64 % 0 and any float % 0/False are NaN). Same for a
+    // runtime bool-series divisor over an int column, and for a BOOL
+    // dividend (bool % False == 0, integer-typed — int8 in pandas, probed
+    // r6; only the cast-str rendering '0' is observable, which the bigint
+    // completion here matches).
     val intModBoolZero =
       (a0.tag == Tag.NumInt || a0.tag == Tag.Bool) && b0.tag == Tag.Bool
     def intZero: Column = when(a.isNull, lit(null).cast("bigint")).otherwise(lit(0L))

@@ -33,8 +33,10 @@ class FileStreamRestartSpec extends SparkSuite {
         .coalesce(1).write.mode("overwrite").parquet(s"$root/stage/$name")
       // move the part file in atomically so the source sees ONE file
       val dir = java.nio.file.Paths.get(s"$root/stage/$name")
-      val part = Files.list(dir).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst().get()
+      // Using: Files.list streams hold a directory handle until closed
+      val part = scala.util.Using.resource(Files.list(dir)) { st =>
+        st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      }
       Files.move(part, java.nio.file.Paths.get(s"$input/$name.parquet"))
     }
 
@@ -102,8 +104,10 @@ class FileStreamRestartSpec extends SparkSuite {
     def writeFile(name: String, rows: Seq[(String, java.sql.Timestamp)]): Unit = {
       rows.toDF("text", "ts").coalesce(1).write.mode("overwrite").parquet(s"$root/stage/$name")
       val dir = java.nio.file.Paths.get(s"$root/stage/$name")
-      val part = Files.list(dir).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst().get()
+      // Using: Files.list streams hold a directory handle until closed
+      val part = scala.util.Using.resource(Files.list(dir)) { st =>
+        st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      }
       Files.move(part, java.nio.file.Paths.get(s"$input/$name.parquet"))
     }
 
