@@ -61,8 +61,9 @@ object SparkEntry {
     // every downstream conv_id-keyed aggregation/window in the transcript
     // suite reuses this one exchange instead of adding its own (guide
     // §2.4 "two operations keyed the same way can share one exchange").
-    // Measured: q_conv_verdicts 4 exchanges -> 1, q_transcript_seq_gaps
-    // 3 -> 1, q_transcript_uniqueness 2 -> 1.
+    // Measured (plans/r07 before/after): q_conv_verdicts,
+    // q_transcript_seq_gaps and q_transcript_uniqueness each go from 3
+    // Exchange nodes to 1.
     val base = ev.select(
       col("user_id").cast("string").as("conv_id"),
       col("event_id"), col("ts"), col("event_type"), col("props"))
