@@ -434,8 +434,8 @@ class Validator(schema: CompiledSchema, config: ValidatorConfig = ValidatorConfi
     // fold a leg's predicate and PRUNE the whole leg at optimize time; a
     // fused struct-array explode makes err data-dependent and forces all
     // S6 machinery into every such plan (measured: q_kye_subindex 10 -> 26
-    // AQE jobs). The 2N cached-relation re-scans the legs cost are cheap
-    // next to that.
+    // AQE jobs). The 2N cached-relation re-scans the legs cost are
+    // cheap next to losing that pruning.
     val badKeyParts = ListBuffer.empty[DataFrame]
     for (c <- dataCols) {
       val e = model.edge(c)
